@@ -1,0 +1,11 @@
+"""covertree_spark — a PySpark-native spatial-join + tiling engine.
+
+From-scratch reimplementation of the query capabilities of
+gabe-raulet/CoverTree (epsilon-ball self-join over metric point sets,
+cover-tree indexing) re-expressed Spark-first: DataFrames end-to-end,
+vectorized pandas/Arrow UDFs for the metric kernels, explicit cell-keyed
+shuffles, plus the BASELINE-mandated extensions (exact kNN,
+point-in-polygon, raster tiles, dedup/similarity/text ops).
+"""
+
+__version__ = "0.1.0"

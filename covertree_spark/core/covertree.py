@@ -1,0 +1,435 @@
+"""Numpy cover-tree kernel.
+
+A vectorized, from-scratch reimplementation of the reference's batch
+"hub-splitting" cover-tree construction and triangle-inequality pruned
+queries (semantics per /root/reference/src/cover_tree.cpp:6-249; CSR
+layout per /root/reference/include/cover_tree.h:29-32).  This module is
+pure numpy — it runs *inside* Spark pandas UDFs, one tree per cell
+partition — and has no Spark dependency so it can be unit-tested
+directly.
+
+Invariants preserved (the reference's test surface):
+  * covering   — every point of a level-L hub is within
+                 ``cover**(-L-1) * maxdist`` of one of the hub's sites;
+  * separation — sites added to a hub are pairwise farther apart than
+                 the hub's level target;
+  * nesting    — a hub's site is always a site of the child hub it
+                 spawns (parent centers reappear below);
+  * leaf rule  — a child hub becomes a leaf when ``size <= leaf_size``
+                 or ``radius <= float32 eps``; every point appears
+                 exactly once as a radius-0 leaf (or singleton vertex);
+  * CSR        — preorder renumbering makes each vertex's children
+                 contiguous in ``childarr``.
+
+Distances are computed in float64 over float32-representable inputs so
+that results are bit-comparable with a float64 SQL oracle (DuckDB).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass
+
+import numpy as np
+
+# Leaf epsilon: reference uses std::numeric_limits<float>::epsilon()
+# (cover_tree.cpp:91); we keep the same constant even though we
+# accumulate distances in float64.
+LEAF_EPS = float(np.finfo(np.float32).eps)
+
+DEFAULT_COVER = 1.55  # reference rgraph.cpp:21
+DEFAULT_LEAF_SIZE = 10  # reference rgraph.cpp:22
+
+_CHUNK = 8192  # rows per distance-matrix chunk (bounds peak memory)
+
+
+def pairwise_sq_dists(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Squared L2 distances, shape (len(a), len(b)), float64, exact
+    direct-difference evaluation (no dot-product trick — keeps full
+    precision for oracle comparability)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    out = np.empty((a.shape[0], b.shape[0]), dtype=np.float64)
+    for s in range(0, a.shape[0], _CHUNK):
+        e = min(s + _CHUNK, a.shape[0])
+        d = a[s:e, None, :] - b[None, :, :]
+        np.einsum("ijk,ijk->ij", d, d, out=out[s:e])
+    return out
+
+
+def dists_to(points: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """L2 distance of every row of ``points`` to vector ``x`` (float64)."""
+    d = np.asarray(points, dtype=np.float64) - np.asarray(x, dtype=np.float64)
+    return np.sqrt(np.einsum("ij,ij->i", d, d))
+
+
+def row_dists(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Rowwise L2 distance between paired rows of ``a`` and ``b``."""
+    d = np.asarray(a, dtype=np.float64) - np.asarray(b, dtype=np.float64)
+    return np.sqrt(np.einsum("ij,ij->i", d, d))
+
+
+@dataclass
+class CoverTree:
+    """CSR-encoded cover tree over a local point block.
+
+    Same four-array layout as the reference (childarr/childptrs/centers/
+    radii) so trees serialize to four flat columns for checkpointing.
+    ``centers`` holds *local row indices* into the point block the tree
+    was built from.
+    """
+
+    childarr: np.ndarray  # int64, len m-1 (every vertex but root is a child)
+    childptrs: np.ndarray  # int64, len m+1
+    centers: np.ndarray  # int64, len m  (local point index per vertex)
+    radii: np.ndarray  # float64, len m
+
+    @property
+    def num_vertices(self) -> int:
+        return len(self.centers)
+
+    def children(self, v: int) -> np.ndarray:
+        return self.childarr[self.childptrs[v] : self.childptrs[v + 1]]
+
+    def is_leaf_mask(self) -> np.ndarray:
+        return self.childptrs[1:] == self.childptrs[:-1]
+
+    def to_arrays(self) -> dict[str, np.ndarray]:
+        return {
+            "childarr": self.childarr,
+            "childptrs": self.childptrs,
+            "centers": self.centers,
+            "radii": self.radii,
+        }
+
+    @classmethod
+    def from_arrays(cls, d: dict[str, np.ndarray]) -> "CoverTree":
+        return cls(
+            childarr=np.asarray(d["childarr"], dtype=np.int64),
+            childptrs=np.asarray(d["childptrs"], dtype=np.int64),
+            centers=np.asarray(d["centers"], dtype=np.int64),
+            radii=np.asarray(d["radii"], dtype=np.float64),
+        )
+
+
+class _Hub:
+    __slots__ = ("vertex", "level", "ids", "dists", "cells", "candidate", "site")
+
+    def __init__(self, vertex, level, ids, dists, cells, candidate, site):
+        self.vertex = vertex
+        self.level = level
+        self.ids = ids  # local point indices in this hub
+        self.dists = dists  # dist of each point to its assigned site
+        self.cells = cells  # assigned site (a local point index) per point
+        self.candidate = candidate  # farthest point (next site to add)
+        self.site = site  # the site this hub was spawned from
+
+
+def build(
+    points: np.ndarray,
+    cover: float = DEFAULT_COVER,
+    leaf_size: int = DEFAULT_LEAF_SIZE,
+) -> CoverTree:
+    """Build a cover tree over ``points`` (n x d, float32/float64).
+
+    Vectorized hub-splitting: each hub at level L greedily adds its
+    farthest uncovered point as a new site until every point lies within
+    ``cover**(-L-1) * maxdist`` of a site; points partition to the
+    nearest site (first-win on ties, matching a strict ``<`` relax);
+    the spawning site is itself a site of its child hub (nesting).
+    """
+    P = np.asarray(points, dtype=np.float64)
+    n = P.shape[0]
+    if n == 0:
+        raise ValueError("cannot build a cover tree over zero points")
+
+    v_center: list[int] = []
+    v_radius: list[float] = []
+    v_children: list[list[int]] = []
+
+    def new_vertex(center: int, radius: float) -> int:
+        v_center.append(int(center))
+        v_radius.append(float(radius))
+        v_children.append([])
+        return len(v_center) - 1
+
+    root_dists = dists_to(P, P[0])
+    maxdist = float(root_dists.max())
+    root = new_vertex(0, maxdist)
+
+    if n == 1 or maxdist <= LEAF_EPS:
+        # Degenerate: all points coincide. Root is a leaf hub.
+        if n > 1:
+            for i in range(n):
+                lv = new_vertex(i, 0.0)
+                v_children[root].append(lv)
+        return _to_csr(v_center, v_radius, v_children)
+
+    hubs: deque[_Hub] = deque()
+    hubs.append(
+        _Hub(
+            vertex=root,
+            level=0,
+            ids=np.arange(n, dtype=np.int64),
+            dists=root_dists,
+            cells=np.zeros(n, dtype=np.int64),
+            candidate=int(root_dists.argmax()),
+            site=0,
+        )
+    )
+
+    while hubs:
+        h = hubs.popleft()
+        target = (cover ** (-(h.level) - 1.0)) * maxdist
+        ids, dists, cells = h.ids, h.dists, h.cells
+        sites: list[int] = [h.site]
+        seen = {h.site}
+        cand = h.candidate
+        # farthest-point loop (always adds at least one new site, as the
+        # reference's do-while does)
+        while True:
+            new_site = cand
+            if new_site not in seen:
+                sites.append(new_site)
+                seen.add(new_site)
+                d = dists_to(P[ids], P[new_site])
+                closer = d < dists
+                dists = np.where(closer, d, dists)
+                cells = np.where(closer, new_site, cells)
+            sep_idx = int(dists.argmax())
+            sep = dists[sep_idx]
+            cand = int(ids[sep_idx])
+            if sep <= target:
+                break
+
+        for site in sites:
+            mask = cells == site
+            cids = ids[mask]
+            cdists = dists[mask]
+            if cids.size == 0:  # defensive; a site always owns itself
+                continue
+            rel = int(cdists.argmax())
+            radius = float(cdists[rel])
+            vtx = new_vertex(site, radius)
+            v_children[h.vertex].append(vtx)
+            if cids.size <= leaf_size or radius <= LEAF_EPS:
+                # leaf hub: points become radius-0 leaves (singleton
+                # hubs are themselves leaves)
+                if cids.size > 1:
+                    for leaf in cids.tolist():
+                        lv = new_vertex(leaf, 0.0)
+                        v_children[vtx].append(lv)
+            else:
+                hubs.append(
+                    _Hub(
+                        vertex=vtx,
+                        level=h.level + 1,
+                        ids=cids,
+                        dists=cdists,
+                        cells=np.full(cids.size, site, dtype=np.int64),
+                        candidate=int(cids[rel]),
+                        site=site,
+                    )
+                )
+
+    return _to_csr(v_center, v_radius, v_children)
+
+
+def _to_csr(v_center, v_radius, v_children) -> CoverTree:
+    """Preorder renumbering -> contiguous-children CSR arrays."""
+    m = len(v_center)
+    order: list[int] = []
+    stack = [0]
+    while stack:
+        u = stack.pop()
+        order.append(u)
+        stack.extend(reversed(v_children[u]))
+    assert len(order) == m
+    old_to_new = np.empty(m, dtype=np.int64)
+    order_arr = np.asarray(order, dtype=np.int64)
+    old_to_new[order_arr] = np.arange(m, dtype=np.int64)
+
+    centers = np.asarray(v_center, dtype=np.int64)[order_arr]
+    radii = np.asarray(v_radius, dtype=np.float64)[order_arr]
+    counts = np.asarray([len(v_children[o]) for o in order], dtype=np.int64)
+    childptrs = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(counts, out=childptrs[1:])
+    childarr = np.empty(int(childptrs[-1]), dtype=np.int64)
+    pos = 0
+    for o in order:
+        ch = v_children[o]
+        if ch:
+            childarr[pos : pos + len(ch)] = old_to_new[np.asarray(ch)]
+            pos += len(ch)
+    return CoverTree(childarr=childarr, childptrs=childptrs, centers=centers, radii=radii)
+
+
+def radius_query(
+    tree: CoverTree,
+    points: np.ndarray,
+    queries: np.ndarray,
+    radius,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched epsilon-ball query with triangle-inequality pruning.
+
+    Level-synchronous BFS over (query, vertex) frontier pairs: a child
+    subtree is pruned unless ``d(q, center_child) <= r_q + radii[child]``;
+    leaves are tested exactly (reference semantics,
+    /root/reference/src/cover_tree.cpp:212-249, vectorized over the
+    whole query batch instead of per-point BFS).
+
+    ``radius`` may be a scalar or a per-query array.
+    Returns (query_idx, point_local_idx, dist) arrays; includes
+    self-matches (dist 0) — callers filter.
+    """
+    P = np.asarray(points, dtype=np.float64)
+    Q = np.asarray(queries, dtype=np.float64)
+    nq = Q.shape[0]
+    r = np.broadcast_to(np.asarray(radius, dtype=np.float64), (nq,))
+    if nq == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=np.float64)
+
+    ptrs, carr = tree.childptrs, tree.childarr
+    centers, radii = tree.centers, tree.radii
+
+    out_q: list[np.ndarray] = []
+    out_p: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+
+    fq = np.arange(nq, dtype=np.int64)
+    fv = np.zeros(nq, dtype=np.int64)
+
+    # Root may itself satisfy pruning trivially; descend from root.
+    while fq.size:
+        nchild = ptrs[fv + 1] - ptrs[fv]
+        leaf = nchild == 0
+        if leaf.any():
+            lq, lv = fq[leaf], fv[leaf]
+            d = row_dists(Q[lq], P[centers[lv]])
+            hit = d <= r[lq]
+            if hit.any():
+                out_q.append(lq[hit])
+                out_p.append(centers[lv[hit]])
+                out_d.append(d[hit])
+        inner = ~leaf
+        if not inner.any():
+            break
+        iq, iv = fq[inner], fv[inner]
+        cnt = (ptrs[iv + 1] - ptrs[iv]).astype(np.int64)
+        rep_q = np.repeat(iq, cnt)
+        # gather contiguous child ranges
+        starts = ptrs[iv]
+        idx = np.repeat(starts + cnt - cnt.cumsum(), cnt) + np.arange(int(cnt.sum()))
+        children = carr[idx]
+        d = row_dists(Q[rep_q], P[centers[children]])
+        keep = d <= r[rep_q] + radii[children]
+        fq = rep_q[keep]
+        fv = children[keep]
+
+    if not out_q:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=np.float64)
+    return np.concatenate(out_q), np.concatenate(out_p), np.concatenate(out_d)
+
+
+def knn_query(
+    tree: CoverTree,
+    points: np.ndarray,
+    queries: np.ndarray,
+    k: int,
+    radius_hint=None,
+    exclude_self_ids: np.ndarray | None = None,
+    point_ids: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact k-nearest-neighbors via radius queries with geometric
+    expansion (the reference has no kNN — this is the BASELINE-required
+    extension; exactness is guaranteed because expansion continues until
+    >= k hits, then results are the k smallest by (dist, id)).
+
+    ``radius_hint``: optional scalar/per-query initial radius (e.g. the
+    two-phase plan's broadcast upper bound — when provided and valid it
+    already guarantees >= k hits, so no expansion rounds run).
+    ``exclude_self_ids``/``point_ids``: global ids used to drop
+    self-pairs before ranking.
+    Returns (query_idx, point_local_idx, dist), at most k per query.
+    """
+    P = np.asarray(points, dtype=np.float64)
+    Q = np.asarray(queries, dtype=np.float64)
+    nq, n = Q.shape[0], P.shape[0]
+    if nq == 0 or n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=np.float64)
+    kk = min(k, n)
+
+    root_rad = float(tree.radii[0])
+    if radius_hint is None:
+        # distance to root center always yields >= 1 hit
+        r = row_dists(Q, np.broadcast_to(P[tree.centers[0]], Q.shape)) + root_rad * 1e-3 + 1e-12
+    else:
+        r = np.broadcast_to(np.asarray(radius_hint, dtype=np.float64), (nq,)).copy()
+
+    pending = np.arange(nq, dtype=np.int64)
+    acc_q: list[np.ndarray] = []
+    acc_p: list[np.ndarray] = []
+    acc_d: list[np.ndarray] = []
+    max_r = root_rad * 2.0 + float(np.max(r)) + 1e-12
+    while pending.size:
+        qi, pi, di = radius_query(tree, P, Q[pending], r[pending])
+        qg = pending[qi]
+        if exclude_self_ids is not None and point_ids is not None:
+            keep = point_ids[pi] != exclude_self_ids[qg]
+            qg, pi, di = qg[keep], pi[keep], di[keep]
+        counts = np.bincount(qg, minlength=nq)
+        done = counts[pending] >= kk
+        done_set = pending[done]
+        if done_set.size:
+            sel = np.isin(qg, done_set)
+            acc_q.append(qg[sel])
+            acc_p.append(pi[sel])
+            acc_d.append(di[sel])
+        pending = pending[~done]
+        if pending.size:
+            grown = r[pending] * 2.0 + root_rad * 1e-6
+            r[pending] = grown
+            if np.all(r[pending] > max_r):
+                # whole tree now inside every ball: last round
+                qi, pi, di = radius_query(tree, P, Q[pending], r[pending])
+                qg = pending[qi]
+                if exclude_self_ids is not None and point_ids is not None:
+                    keep = point_ids[pi] != exclude_self_ids[qg]
+                    qg, pi, di = qg[keep], pi[keep], di[keep]
+                acc_q.append(qg)
+                acc_p.append(pi)
+                acc_d.append(di)
+                break
+
+    if not acc_q:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=np.float64)
+    qg = np.concatenate(acc_q)
+    pg = np.concatenate(acc_p)
+    dg = np.concatenate(acc_d)
+    return topk_per_query(qg, pg, dg, kk, tiebreak_ids=point_ids)
+
+
+def topk_per_query(
+    qidx: np.ndarray,
+    pidx: np.ndarray,
+    dist: np.ndarray,
+    k: int,
+    tiebreak_ids: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Keep the k smallest (dist, id) per query index. Deterministic:
+    ties broken by global id (or local index when ids absent)."""
+    if qidx.size == 0:
+        return qidx, pidx, dist
+    tie = tiebreak_ids[pidx] if tiebreak_ids is not None else pidx
+    order = np.lexsort((tie, dist, qidx))
+    qs, ps, ds = qidx[order], pidx[order], dist[order]
+    # rank within query (qs sorted): position - first position of query
+    first = np.r_[0, np.flatnonzero(qs[1:] != qs[:-1]) + 1]
+    starts = np.repeat(first, np.diff(np.r_[first, qs.size]))
+    rank = np.arange(qs.size) - starts
+    keep = rank < k
+    return qs[keep], ps[keep], ds[keep]

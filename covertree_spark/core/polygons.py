@@ -1,0 +1,100 @@
+"""Point-in-polygon primitives (pure numpy) + deterministic fixtures.
+
+The reference has no polygon support (SURVEY.md §2.9) — this is the
+BASELINE-required extension. Exact even-odd ray-crossing test,
+vectorized over (points x polygon edges); convex fixtures additionally
+admit a half-plane SQL oracle (each edge a sign-of-cross-product
+predicate), which is what oracle_sql() emits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def point_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Even-odd ray crossing. ``poly``: (m, 2) float64 vertex ring
+    (closed implicitly). Returns boolean (n,). Points exactly on an
+    edge may land either way — fixtures avoid measure-zero placements.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    x1, y1 = poly[:, 0], poly[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    # edge straddles the horizontal ray at py
+    straddle = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1[None, :] + (py[:, None] - y1[None, :]) / (y2 - y1)[None, :] * (x2 - x1)[None, :]
+    crossings = (straddle & (px[:, None] < xint)).sum(axis=1)
+    return (crossings % 2) == 1
+
+
+def point_in_convex(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Half-plane conjunction for a CCW convex polygon (boundary
+    inclusive) — the exact arithmetic the SQL oracle reproduces."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    x1, y1 = poly[:, 0], poly[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    cross = (x2 - x1)[None, :] * (py[:, None] - y1[None, :]) - (y2 - y1)[None, :] * (
+        px[:, None] - x1[None, :]
+    )
+    return np.all(cross >= 0.0, axis=1)
+
+
+def sql_convex_predicate(lon_expr: str, lat_expr: str, poly: np.ndarray) -> str:
+    """SQL predicate equivalent to point_in_convex (same op order)."""
+    terms = []
+    m = len(poly)
+    for i in range(m):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % m]
+        terms.append(
+            f"(({x2!r} - {x1!r}) * (({lat_expr}) - {y1!r}) - "
+            f"({y2!r} - {y1!r}) * (({lon_expr}) - {x1!r})) >= 0.0"
+        )
+    return "(" + " AND ".join(terms) + ")"
+
+
+def convex_fixture_polygons(count: int = 8, seed: int = 42) -> list[np.ndarray]:
+    """Deterministic CCW convex polygons scattered in lon/lat space.
+
+    Literal float64 vertices (seeded RNG on the driver only) — they are
+    embedded verbatim into both the Spark plan and the SQL oracle, so
+    determinism across parallelism is trivial.
+    """
+    rng = np.random.default_rng(seed)
+    polys = []
+    for i in range(count):
+        cx = rng.uniform(-150, 150)
+        cy = rng.uniform(-70, 70)
+        nv = int(rng.integers(5, 10))
+        angles = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        radii = rng.uniform(8.0, 28.0, nv)
+        xs = cx + radii * np.cos(angles)
+        ys = cy + radii * np.sin(angles)
+        hull = _convex_hull(np.stack([xs, ys], axis=1))
+        polys.append(hull)
+    return polys
+
+
+def _convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain; returns CCW hull without repeated last
+    vertex."""
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(points):
+        out: list[np.ndarray] = []
+        for p in points:
+            while len(out) >= 2:
+                o, a = out[-2], out[-1]
+                if (a[0] - o[0]) * (p[1] - o[1]) - (a[1] - o[1]) * (p[0] - o[0]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)

@@ -1,0 +1,123 @@
+"""Cell codec, geometry, and polygon primitives (no Spark). The codec
+must agree bit-for-bit with its own SQL rendering (checked via DuckDB
+here, same engine the driver's oracle uses)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from covertree_spark.core import cells, geometry, polygons
+
+
+def test_lonlat_from_id_ranges_and_determinism():
+    ids = np.arange(10000)
+    lon, lat = geometry.lonlat_from_id(ids)
+    assert np.all(lon >= -180) and np.all(lon < 180)
+    assert np.all(lat >= -90) and np.all(lat < 90)
+    lon2, lat2 = geometry.lonlat_from_id(ids)
+    assert np.array_equal(lon, lon2)
+    # spread: not all in one cell at res 3
+    assert len(np.unique(cells.cell_id(lon, lat, 3))) > 30
+
+
+def test_lonlat_sql_bit_identical():
+    ids = np.arange(5000)
+    lon, lat = geometry.lonlat_from_id(ids)
+    le, la = geometry.sql_lonlat_exprs("i")
+    got = duckdb.sql(
+        f"SELECT {le} AS lon, {la} AS lat FROM range(5000) t(i) ORDER BY i"
+    ).fetchnumpy()
+    assert np.array_equal(got["lon"], lon)
+    assert np.array_equal(got["lat"], lat)
+
+
+@pytest.mark.parametrize("res", [1, 3, 6])
+def test_cell_id_sql_bit_identical(res):
+    ids = np.arange(5000)
+    lon, lat = geometry.lonlat_from_id(ids)
+    expected = cells.cell_id(lon, lat, res)
+    le, la = geometry.sql_lonlat_exprs("i")
+    expr = cells.sql_cell_expr(le, la, res)
+    got = duckdb.sql(
+        f"SELECT {expr} AS c FROM range(5000) t(i) ORDER BY i"
+    ).fetchnumpy()["c"]
+    assert np.array_equal(got, expected)
+
+
+def test_cell_parent_children_roundtrip():
+    res, child_res = 4, 6
+    ids = np.arange(2000)
+    lon, lat = geometry.lonlat_from_id(ids)
+    coarse = cells.cell_id(lon, lat, res)
+    fine = cells.cell_id(lon, lat, child_res)
+    assert np.array_equal(cells.parent(fine, child_res, res), coarse)
+    for c in np.unique(coarse)[:10]:
+        ch = cells.children(int(c), res, child_res)
+        assert len(ch) == 16
+        assert np.all(cells.parent(ch, child_res, res) == c)
+
+
+def test_k_ring_wraps_longitude():
+    res = 3
+    n = 1 << res
+    # cell at lon edge: ix = 0
+    ring = cells.k_ring(0 * n + 3, res, 1)
+    xs = ring // n
+    assert (n - 1) in xs and 0 in xs and 1 in xs
+
+
+def test_cell_bounds_contain_points():
+    ids = np.arange(3000)
+    lon, lat = geometry.lonlat_from_id(ids)
+    res = 5
+    c = cells.cell_id(lon, lat, res)
+    lon0, lon1, lat0, lat1 = cells.cell_bounds(c, res)
+    assert np.all((lon >= lon0) & (lon <= lon1))
+    assert np.all((lat >= lat0) & (lat <= lat1))
+
+
+def test_chord_gc_roundtrip():
+    for theta in [0.01, 0.3, 1.0, np.pi / 2]:
+        assert abs(geometry.chord_to_gc(geometry.gc_to_chord(theta)) - theta) < 1e-12
+
+
+def test_xyz_unit_norm():
+    ids = np.arange(1000)
+    lon, lat = geometry.lonlat_from_id(ids)
+    xyz = geometry.lonlat_to_xyz(lon, lat)
+    assert np.allclose(np.linalg.norm(xyz, axis=1), 1.0, atol=1e-12)
+
+
+def test_convex_pip_matches_ray_crossing():
+    polys = polygons.convex_fixture_polygons(8)
+    rng = np.random.default_rng(0)
+    px = rng.uniform(-180, 180, 4000)
+    py = rng.uniform(-90, 90, 4000)
+    for poly in polys:
+        a = polygons.point_in_polygon(px, py, poly)
+        b = polygons.point_in_convex(px, py, poly)
+        # interiors agree; allow boundary-measure-zero diffs (none expected)
+        assert np.array_equal(a, b)
+
+
+def test_convex_pip_sql_bit_identical():
+    polys = polygons.convex_fixture_polygons(4)
+    ids = np.arange(3000)
+    lon, lat = geometry.lonlat_from_id(ids)
+    le, la = geometry.sql_lonlat_exprs("i")
+    for poly in polys:
+        expected = polygons.point_in_convex(lon, lat, poly)
+        pred = polygons.sql_convex_predicate(le, la, poly)
+        got = duckdb.sql(
+            f"SELECT {pred} AS hit FROM range(3000) t(i) ORDER BY i"
+        ).fetchnumpy()["hit"]
+        assert np.array_equal(got, expected)
+
+
+def test_pip_concave():
+    # concave "L" shape
+    poly = np.array([[0, 0], [4, 0], [4, 1], [1, 1], [1, 4], [0, 4]], dtype=float)
+    px = np.array([0.5, 2.0, 2.0, 0.5, 3.5])
+    py = np.array([0.5, 0.5, 2.0, 3.0, 0.5])
+    got = polygons.point_in_polygon(px, py, poly)
+    assert got.tolist() == [True, True, False, True, True]

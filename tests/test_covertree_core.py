@@ -1,0 +1,140 @@
+"""Cover-tree kernel: invariants + oracle equality (no Spark).
+
+Mirrors the reference's correctness methodology (SURVEY.md §5): the
+brute-force oracle defines ground truth; tree results must equal it as
+sorted edge sets / (dist,id)-ordered top-k, across parameter sweeps.
+"""
+
+import numpy as np
+import pytest
+
+from covertree_spark.core import covertree as ct
+from covertree_spark.core import invariants as inv
+from tests.conftest import brute_ball_edges, brute_knn, make_blobs
+
+SWEEP = [(1.3, 10), (1.55, 10), (1.55, 1), (2.0, 50)]
+
+
+@pytest.mark.parametrize("cover,leaf_size", SWEEP)
+def test_invariants_blobs(cover, leaf_size):
+    X = make_blobs(400, 8, 10, seed=1)
+    tree = ct.build(X, cover=cover, leaf_size=leaf_size)
+    inv.check_all(tree, X, cover, leaf_size)
+
+
+def test_invariants_degenerate_duplicates():
+    X = np.zeros((50, 4), dtype=np.float32)
+    tree = ct.build(X)
+    inv.csr_well_formed(tree)
+    inv.leaves_cover_points_exactly_once(tree, 50)
+
+
+def test_invariants_single_point():
+    X = np.ones((1, 3), dtype=np.float32)
+    tree = ct.build(X)
+    assert tree.num_vertices == 1
+    inv.csr_well_formed(tree)
+
+
+def test_invariants_some_duplicates():
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(100, 5)).astype(np.float32)
+    X[40:60] = X[10]  # 21 coincident points
+    tree = ct.build(X)
+    inv.csr_well_formed(tree)
+    inv.leaves_cover_points_exactly_once(tree, 100)
+    inv.radii_bound_descendants(tree, X)
+
+
+@pytest.mark.parametrize("cover,leaf_size", SWEEP)
+def test_ball_query_matches_bruteforce(cover, leaf_size):
+    X = make_blobs(500, 8, 10, seed=2)
+    r = 2.5
+    tree = ct.build(X, cover=cover, leaf_size=leaf_size)
+    qi, pi, di = ct.radius_query(tree, X, X, r)
+    keep = qi != pi  # drop self-pairs
+    got = np.stack([qi[keep], pi[keep]], axis=1)
+    got = got[np.lexsort((got[:, 1], got[:, 0]))]
+    expected = brute_ball_edges(X, r)
+    assert got.shape == expected.shape
+    assert np.array_equal(got, expected)
+
+
+def test_ball_query_per_query_radius():
+    X = make_blobs(300, 4, 5, seed=3)
+    radii = np.linspace(0.5, 4.0, X.shape[0])
+    tree = ct.build(X)
+    qi, pi, di = ct.radius_query(tree, X, X, radii)
+    D = np.sqrt(ct.pairwise_sq_dists(X, X))
+    for q in range(0, X.shape[0], 37):
+        expected = set(np.nonzero(D[q] <= radii[q])[0].tolist())
+        got = set(pi[qi == q].tolist())
+        assert got == expected
+
+
+@pytest.mark.parametrize("k", [1, 5, 10])
+def test_knn_matches_bruteforce(k):
+    X = make_blobs(400, 6, 8, seed=4)
+    tree = ct.build(X)
+    ids = np.arange(X.shape[0])
+    qg, pg, dg = ct.knn_query(
+        tree, X, X, k, exclude_self_ids=ids, point_ids=ids
+    )
+    order = np.lexsort((pg, dg, qg))
+    qg, pg, dg = qg[order], pg[order], dg[order]
+    eq, ep, ed = brute_knn(X, X, k, exclude_self_idx=ids)
+    assert np.array_equal(qg, eq)
+    assert np.array_equal(pg, ep)
+    assert np.allclose(dg, ed, rtol=0, atol=0)
+
+
+def test_knn_with_radius_hint_exact():
+    X = make_blobs(300, 6, 5, seed=5)
+    tree = ct.build(X)
+    ids = np.arange(X.shape[0])
+    # generous hint: must not change results
+    hint = np.full(X.shape[0], 50.0)
+    qg, pg, dg = ct.knn_query(tree, X, X, 7, radius_hint=hint,
+                              exclude_self_ids=ids, point_ids=ids)
+    order = np.lexsort((pg, dg, qg))
+    eq, ep, ed = brute_knn(X, X, 7, exclude_self_idx=ids)
+    assert np.array_equal(qg[order], eq)
+    assert np.array_equal(pg[order], ep)
+
+
+def test_knn_k_exceeds_n():
+    X = make_blobs(20, 3, 2, seed=6)
+    tree = ct.build(X)
+    qg, pg, dg = ct.knn_query(tree, X, X[:5], 50)
+    # every query returns all 20 points
+    assert np.all(np.bincount(qg, minlength=5) == 20)
+
+
+def test_boundary_distances_float_ties():
+    """Points placed at distance exactly r and r*(1±1e-3): the <= r
+    predicate must agree with the oracle bit-for-bit (FIXTURES F2
+    'boundary')."""
+    r = 1.0
+    base = np.zeros((1, 2))
+    offs = np.array([[r, 0], [r * (1 - 1e-3), 0], [r * (1 + 1e-3), 0],
+                     [0, r], [0, -r * (1 - 1e-3)]])
+    X = np.concatenate([base, base + offs]).astype(np.float32)
+    tree = ct.build(X, leaf_size=1)
+    qi, pi, di = ct.radius_query(tree, X, X, r)
+    keep = qi != pi
+    got = set(map(tuple, np.stack([qi[keep], pi[keep]], axis=1).tolist()))
+    expected = set(map(tuple, brute_ball_edges(X, r).tolist()))
+    assert got == expected
+
+
+def test_tree_serialization_roundtrip():
+    X = make_blobs(200, 5, 4, seed=8)
+    tree = ct.build(X)
+    arrays = tree.to_arrays()
+    tree2 = ct.CoverTree.from_arrays({k: v.copy() for k, v in arrays.items()})
+    qi1, pi1, d1 = ct.radius_query(tree, X, X[:50], 2.0)
+    qi2, pi2, d2 = ct.radius_query(tree2, X, X[:50], 2.0)
+    o1 = np.lexsort((pi1, qi1))
+    o2 = np.lexsort((pi2, qi2))
+    assert np.array_equal(qi1[o1], qi2[o2])
+    assert np.array_equal(pi1[o1], pi2[o2])
