@@ -1,0 +1,99 @@
+"""Epsilon-ball self-join — the reference's headline query.
+
+Semantics: ``points p JOIN points q ON dist(p.vec, q.vec) <= r AND
+p.id != q.id`` (both directions emitted, matching the reference's
+symmetric edge set, /root/reference/src/dist_graph.cpp:12-21).
+
+Physical plan (the reference's cvor pipeline re-expressed,
+/root/reference/src/dist_point_vector.cpp:962-996):
+
+  points(id, vec, cell)
+    -> cell_stats (2 JVM aggs)        [broadcast]
+    -> replicate_ghosts (mapInPandas) [explode candidate cells]
+    -> grouped_apply on cell          [ONE repartitionByRange shuffle]
+         per cell: build cover tree over home points,
+                   batched radius query for home+ghost rows
+    -> edges(src, dst, dist)
+
+Every qualifying ordered pair is found exactly once — in the cell
+where its dst is home — so no dedup stage is needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..core import covertree as ct
+from ..plans.grouped import grouped_apply
+from ..sources.tables import vec_matrix
+from .partition import cell_stats, replicate_ghosts
+
+EDGE_SCHEMA = "src bigint, dst bigint, dist double"
+
+
+def ball_self_join(
+    points: DataFrame,
+    radius: float,
+    d: int,
+    cover: float = ct.DEFAULT_COVER,
+    leaf_size: int = ct.DEFAULT_LEAF_SIZE,
+    strategy: str = "range",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """points must carry (id, vec, cell). Returns (src, dst, dist),
+    src != dst, both directions."""
+    spark = points.sparkSession
+    stats = cell_stats(points, d, cell_col)
+    stats_bc = spark.sparkContext.broadcast(stats)
+    assigned = replicate_ghosts(points, stats_bc, radius, cell_col)
+
+    def per_cell(_cell, pdf: pd.DataFrame) -> pd.DataFrame:
+        home = pdf[~pdf["is_ghost"]]
+        if home.empty:
+            return pd.DataFrame({"src": [], "dst": [], "dist": []}).astype(
+                {"src": "int64", "dst": "int64", "dist": "float64"}
+            )
+        H = vec_matrix(home)
+        hid = home["id"].to_numpy()
+        tree = ct.build(H, cover=cover, leaf_size=leaf_size)
+        Q = vec_matrix(pdf)
+        qid = pdf["id"].to_numpy()
+        qi, pi, di = ct.radius_query(tree, H, Q, radius)
+        src = qid[qi]
+        dst = hid[pi]
+        keep = src != dst
+        return pd.DataFrame({"src": src[keep], "dst": dst[keep], "dist": di[keep]})
+
+    return grouped_apply(assigned, "cell", per_cell, EDGE_SCHEMA, strategy=strategy)
+
+
+def brute_ball_join(points: DataFrame, radius: float) -> DataFrame:
+    """Distributed brute-force oracle (reference 'bf' method,
+    dist_point_vector.cpp:194-222): block-nested-loop via a broadcast
+    of the full point set against streamed batches. Only for
+    small-scale ground-truth checks."""
+    spark = points.sparkSession
+    pdf = points.select("id", "vec").toPandas()
+    allX = vec_matrix(pdf)
+    all_ids = pdf["id"].to_numpy()
+    bc = spark.sparkContext.broadcast((allX, all_ids))
+
+    def scan(batches):
+        X, ids = bc.value
+        for b in batches:
+            if b.empty:
+                continue
+            Q = vec_matrix(b)
+            qids = b["id"].to_numpy()
+            d2 = ct.pairwise_sq_dists(Q, X)
+            hit = d2 <= radius * radius
+            qi, pi = np.nonzero(hit)
+            src, dst = qids[qi], ids[pi]
+            keep = src != dst
+            yield pd.DataFrame(
+                {"src": src[keep], "dst": dst[keep], "dist": np.sqrt(d2[hit][keep])}
+            )
+
+    return points.mapInPandas(scan, schema=EDGE_SCHEMA)
