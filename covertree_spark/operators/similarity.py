@@ -1,0 +1,159 @@
+"""Similarity search over the embedding column: brute-force cosine
+top-k (the exactness baseline) and an IVF-bucketed variant (the scale
+path). The IVF index reuses the engine's Voronoi partitioner + cover
+trees — one index family serves geo cells, metric self-joins and ANN.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..core import covertree as ct
+from .dedup import _dot
+from .knn import knn_self_join
+from .partition import assign_voronoi_cells, voronoi_centers
+
+
+def cosine_topk_brute(embs: DataFrame, k: int) -> DataFrame:
+    """Exact cosine top-k self-join, all JVM-side: zip_with dot
+    products + window rank. Output (src, dst, rank). Quadratic — the
+    ground-truth baseline the IVF path is measured against."""
+    v = embs.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("n", F.sqrt(_dot("v", "v")))
+    x = v.select(F.col("id").alias("src"), F.col("v").alias("va"), F.col("n").alias("na"))
+    y = v.select(F.col("id").alias("dst"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    pairs = (
+        x.join(y, F.col("src") != F.col("dst"))
+        .withColumn("cos", _dot("va", "vb") / (F.col("na") * F.col("nb")))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "rank")
+    )
+
+
+def cosine_knn_exact(embs: DataFrame, k: int, voronoi_k: int = 8) -> DataFrame:
+    """EXACT cosine top-k at scale: L2-normalize, then run the
+    partitioned exact-kNN plan (cosine order == L2 order on the unit
+    sphere: ||a-b||^2 = 2 - 2cos). Returns (src, dst, rank)."""
+
+    from collections.abc import Iterator
+    import pandas as pd
+    from ..sources.tables import vec_matrix
+
+    raw = embs.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+
+    def normalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = vec_matrix(pdf)
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            yield pd.DataFrame({"id": pdf["id"], "vec": list(X)})
+
+    unit = raw.mapInPandas(normalize, schema="id bigint, vec array<double>")
+    centers = voronoi_centers(unit, k=voronoi_k)
+    pts = assign_voronoi_cells(unit, centers)
+    d = len(raw.first()["vec"])
+    knn = knn_self_join(pts, k=k, d=d)
+    return knn.select("src", "dst", "rank")
+
+
+def ivf_topk(
+    embs: DataFrame, k: int, nlist: int = 16, nprobe: int = 4
+) -> DataFrame:
+    """Approximate IVF top-k: Voronoi coarse quantizer, probe the
+    ``nprobe`` nearest lists per query, exact search within probed
+    lists. Recall measured against cosine_topk_brute in tests.
+    Output (src, dst, rank)."""
+    from collections.abc import Iterator
+    import pandas as pd
+    from ..plans.grouped import grouped_apply
+    from ..sources.tables import vec_matrix
+
+    raw = embs.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+
+    def normalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = vec_matrix(pdf)
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            yield pd.DataFrame({"id": pdf["id"], "vec": list(X)})
+
+    unit = raw.mapInPandas(normalize, schema="id bigint, vec array<double>").persist()
+    centers = voronoi_centers(unit, k=nlist)
+    pts = assign_voronoi_cells(unit, centers)
+    spark = embs.sparkSession
+    c_bc = spark.sparkContext.broadcast(centers)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = c_bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = vec_matrix(pdf)
+            d2 = ct.pairwise_sq_dists(X, C)
+            near = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            n = len(pdf)
+            qi = np.repeat(np.arange(n), nprobe)
+            yield pd.DataFrame(
+                {
+                    "cell": near.ravel().astype(np.int64),
+                    "qid": pdf["id"].to_numpy()[qi],
+                    "vec": pdf["vec"].to_numpy()[qi],
+                    "is_query": True,
+                }
+            )
+
+    qcand = unit.mapInPandas(
+        probe, schema="cell bigint, qid bigint, vec array<double>, is_query boolean"
+    )
+    home = pts.select(
+        "cell", F.col("id").alias("qid"), "vec", F.lit(False).alias("is_query")
+    )
+    assigned = home.unionByName(qcand)
+
+    def per_cell(_cell, pdf: pd.DataFrame) -> pd.DataFrame:
+        homes = pdf[~pdf["is_query"]]
+        qs = pdf[pdf["is_query"]]
+        if homes.empty or qs.empty:
+            return pd.DataFrame({"qid": [], "nid": [], "dist": []}).astype(
+                {"qid": "int64", "nid": "int64", "dist": "float64"}
+            )
+        H = vec_matrix(homes)
+        hid = homes["qid"].to_numpy()
+        Q = vec_matrix(qs)
+        qids = qs["qid"].to_numpy()
+        d2 = ct.pairwise_sq_dists(Q, H)
+        d = np.sqrt(d2)
+        qi, pi = np.nonzero(np.ones_like(d2, dtype=bool))
+        src, dst, dd = qids[qi], hid[pi], d[qi, pi]
+        keep = src != dst
+        src, dst, dd = src[keep], dst[keep], dd[keep]
+        qloc, ploc, dloc = ct.topk_per_query(
+            src, np.arange(len(dst)), dd, k, tiebreak_ids=dst
+        )
+        return pd.DataFrame({"qid": qloc, "nid": dst[ploc], "dist": dd[ploc]})
+
+    parts = grouped_apply(
+        assigned, "cell", per_cell, "qid bigint, nid bigint, dist double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid").asc())
+    return (
+        parts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias("src"), F.col("nid").alias("dst"), "rank")
+    )

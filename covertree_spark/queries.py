@@ -1,0 +1,376 @@
+"""The engine's query catalog: every operator exposed as a
+(spark_fn, oracle_sql) pair for the driver's correctness gate.
+
+Design rules for oracle comparability (driver sorts columns by name,
+hashes values):
+  * outputs carry only BIGINT columns (ids / counts / ranks) — float
+    columns would be ulp-sensitive across engines;
+  * every derived value (lon/lat, cell, tile, PIP predicate) is
+    rendered from ONE SQL fragment used verbatim by both engines;
+  * thresholds are chosen with verified clearance from the data
+    (tests/test_entry_contract.py asserts the gaps), so cross-engine
+    last-ulp summation differences cannot flip a predicate or a rank.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core import cells as cellcodec
+from .core import geometry
+from .core.polygons import convex_fixture_polygons, sql_convex_predicate
+from .functions import text as tx
+from .operators import dedup, pip, similarity, tiles
+from .operators.ball_join import ball_self_join
+from .operators.knn import knn_self_join
+from .operators.partition import assign_cells, assign_voronoi_cells, voronoi_centers
+from .sources import tables as src
+
+# ---- tuned constants (clearance-verified in tests) -------------------------
+GEO_BALL_R = 0.28  # chord radius, unit sphere
+EMB_BALL_R = 1.1
+COS_TAU = 0.35
+JACCARD_PCT = 80
+KNN_K = 10
+GEO_RES = 3  # join partitioning resolution
+CELL_RES = 4  # cell-assignment query resolution
+TILE_Z = 4
+HIST_Z = 6
+WINDOW_Z = 5
+WINDOW_LON = (-60.0, 60.0)
+WINDOW_LAT = (-30.0, 30.0)
+VORONOI_K = 8
+PIP_POLYS = convex_fixture_polygons(6)
+
+_LON_E, _LAT_E = geometry.sql_lonlat_exprs("doc_id")
+_PTS_CTE = (
+    f"WITH pts AS (SELECT doc_id AS id, {_LON_E} AS lon, {_LAT_E} AS lat FROM documents), "
+    "xyz AS (SELECT id, cos(radians(lat)) * cos(radians(lon)) AS x, "
+    "cos(radians(lat)) * sin(radians(lon)) AS y, sin(radians(lat)) AS z FROM pts)"
+)
+
+
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xyz = src.doc_points_xyz(spark, sf_dir)
+    ll = assign_cells(src.doc_points_lonlat(spark, sf_dir), res=GEO_RES)
+    return xyz.join(ll.select("id", "cell"), "id")
+
+
+def _emb_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = src.embedding_points(spark, sf_dir)
+    centers = voronoi_centers(pts, k=VORONOI_K)
+    return assign_voronoi_cells(pts, centers)
+
+
+# ---- geo queries ------------------------------------------------------------
+
+def q_geo_cell_assign(spark, sf_dir):
+    df = assign_cells(src.doc_points_lonlat(spark, sf_dir), res=CELL_RES)
+    return df.select(F.col("id").alias("doc_id"), F.col("cell").cast("bigint"))
+
+
+def sql_geo_cell_assign():
+    cell = cellcodec.sql_cell_expr(_LON_E, _LAT_E, CELL_RES)
+    return f"SELECT doc_id, {cell} AS cell FROM documents"
+
+
+def q_geo_cell_histogram(spark, sf_dir):
+    df = assign_cells(src.doc_points_lonlat(spark, sf_dir), res=CELL_RES)
+    return df.groupBy("cell").agg(F.count("*").alias("cnt"))
+
+
+def sql_geo_cell_histogram():
+    cell = cellcodec.sql_cell_expr(_LON_E, _LAT_E, CELL_RES)
+    return f"SELECT {cell} AS cell, count(*) AS cnt FROM documents GROUP BY 1"
+
+
+def q_geo_ball_join(spark, sf_dir):
+    pts = _geo_points(spark, sf_dir)
+    return ball_self_join(pts, GEO_BALL_R, d=3).select("src", "dst")
+
+
+def sql_geo_ball_join():
+    return (
+        _PTS_CTE
+        + " SELECT a.id AS src, b.id AS dst FROM xyz a JOIN xyz b ON a.id <> b.id "
+        f"WHERE sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z)) <= {GEO_BALL_R!r}"
+    )
+
+
+def q_geo_knn(spark, sf_dir):
+    pts = _geo_points(spark, sf_dir)
+    knn = knn_self_join(pts, k=KNN_K, d=3)
+    return knn.select("src", "dst", F.col("rank").cast("bigint").alias("rank"))
+
+
+def sql_geo_knn(k: int = KNN_K):
+    return (
+        _PTS_CTE
+        + " SELECT a.id AS src, b.id AS dst, CAST(row_number() OVER ("
+        "PARTITION BY a.id ORDER BY sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z)) ASC, b.id ASC"
+        f") AS BIGINT) AS rank FROM xyz a JOIN xyz b ON a.id <> b.id QUALIFY rank <= {k}"
+    )
+
+
+def q_pip_convex(spark, sf_dir):
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    return pip.pip_join(pts, PIP_POLYS, convex=True).select(
+        F.col("id").alias("doc_id"), "poly_id"
+    )
+
+
+def sql_pip_convex():
+    parts = []
+    for pid, poly in enumerate(PIP_POLYS):
+        pred = sql_convex_predicate(_LON_E, _LAT_E, poly)
+        parts.append(
+            f"SELECT doc_id, CAST({pid} AS BIGINT) AS poly_id FROM documents WHERE {pred}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_tile_assign(spark, sf_dir):
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    return tiles.assign_tiles(pts, TILE_Z).select(
+        F.col("id").alias("doc_id"), F.col("tile").cast("bigint")
+    )
+
+
+def sql_tile_assign():
+    t = cellcodec.sql_cell_expr(_LON_E, _LAT_E, TILE_Z)
+    return f"SELECT doc_id, {t} AS tile FROM documents"
+
+
+def q_tile_histogram(spark, sf_dir):
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    return tiles.tile_histogram(pts, HIST_Z)
+
+
+def sql_tile_histogram():
+    t = cellcodec.sql_cell_expr(_LON_E, _LAT_E, HIST_Z)
+    return f"SELECT {t} AS tile, count(*) AS cnt FROM documents GROUP BY 1"
+
+
+def _window_ranges():
+    z = WINDOW_Z
+    ix0 = int(cellcodec.cell_id(np.array([WINDOW_LON[0]]), np.array([0.0]), z)[0]) >> z
+    ix1 = int(cellcodec.cell_id(np.array([WINDOW_LON[1]]), np.array([0.0]), z)[0]) >> z
+    iy0 = int(cellcodec.cell_id(np.array([0.0]), np.array([WINDOW_LAT[0]]), z)[0]) % (1 << z)
+    iy1 = int(cellcodec.cell_id(np.array([0.0]), np.array([WINDOW_LAT[1]]), z)[0]) % (1 << z)
+    return ix0, ix1, iy0, iy1
+
+
+def q_tile_window(spark, sf_dir):
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    out = tiles.tile_window(pts, WINDOW_Z, WINDOW_LON, WINDOW_LAT)
+    return out.select(F.col("id").alias("doc_id"), F.col("tile").cast("bigint"))
+
+
+def sql_tile_window():
+    z = WINDOW_Z
+    n = 1 << z
+    t = cellcodec.sql_cell_expr(_LON_E, _LAT_E, z)
+    ix0, ix1, iy0, iy1 = _window_ranges()
+    return (
+        f"SELECT doc_id, tile FROM (SELECT doc_id, {t} AS tile FROM documents) "
+        f"WHERE CAST(floor(tile / {n}) AS BIGINT) BETWEEN {ix0} AND {ix1} "
+        f"AND tile % {n} BETWEEN {iy0} AND {iy1}"
+    )
+
+
+# ---- embedding queries -------------------------------------------------------
+
+def q_emb_ball_join(spark, sf_dir):
+    pts = _emb_points(spark, sf_dir)
+    return ball_self_join(pts, EMB_BALL_R, d=64).select("src", "dst")
+
+
+def sql_emb_ball_join():
+    return (
+        "SELECT a.vec_id AS src, b.vec_id AS dst FROM embeddings a "
+        "JOIN embeddings b ON a.vec_id <> b.vec_id "
+        "WHERE list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) "
+        f"<= {EMB_BALL_R!r}"
+    )
+
+
+def q_emb_knn(spark, sf_dir):
+    pts = _emb_points(spark, sf_dir)
+    knn = knn_self_join(pts, k=KNN_K, d=64)
+    return knn.select("src", "dst", F.col("rank").cast("bigint").alias("rank"))
+
+
+def sql_emb_knn(k: int = KNN_K):
+    return (
+        "SELECT a.vec_id AS src, b.vec_id AS dst, CAST(row_number() OVER ("
+        "PARTITION BY a.vec_id ORDER BY "
+        "list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) ASC, "
+        "b.vec_id ASC) AS BIGINT) AS rank "
+        f"FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id QUALIFY rank <= {k}"
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    embs = src.load_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk_brute(embs, k=5)
+    return out.select("src", "dst", F.col("rank").cast("bigint").alias("rank"))
+
+
+def sql_cosine_topk(k: int = 5):
+    dot = "list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    na = "sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    nb = "sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))"
+    return (
+        "SELECT a.vec_id AS src, b.vec_id AS dst, CAST(row_number() OVER ("
+        f"PARTITION BY a.vec_id ORDER BY {dot} / ({na} * {nb}) DESC, b.vec_id ASC) AS BIGINT) AS rank "
+        f"FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id QUALIFY rank <= {k}"
+    )
+
+
+def q_emb_neardup(spark, sf_dir):
+    embs = src.load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(embs, COS_TAU)
+
+
+def sql_emb_neardup():
+    dot = "list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    na = "sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    nb = "sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))"
+    return (
+        "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
+        "JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE {dot} / ({na} * {nb}) >= {COS_TAU!r}"
+    )
+
+
+# ---- text / dedup queries ----------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = src.load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs)
+
+
+def sql_dedup_exact():
+    return (
+        "SELECT min(doc_id) AS keeper_id, count(*) AS dup_count "
+        "FROM documents GROUP BY text"
+    )
+
+
+def q_token_count(spark, sf_dir):
+    docs = src.load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.token_count_col(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+
+
+def sql_token_count():
+    return f"SELECT doc_id, {tx.sql_token_count('text')} AS n_tokens FROM documents"
+
+
+def q_quality(spark, sf_dir):
+    docs = src.load_table(spark, sf_dir, "documents")
+    out = tx.quality_components(docs)
+    return out.select(
+        "doc_id",
+        *[F.col(c).cast("bigint").alias(c) for c in ("n_chars", "n_tokens", "n_alpha", "n_spaces")],
+    )
+
+
+def sql_quality():
+    return tx.sql_quality_components()
+
+
+def q_lang_scores(spark, sf_dir):
+    docs = src.load_table(spark, sf_dir, "documents")
+    out = tx.lang_scores(docs)
+    score_cols = [c for c in out.columns if c.startswith("score_")]
+    return out.select("doc_id", *[F.col(c).cast("bigint").alias(c) for c in score_cols])
+
+
+def sql_lang_scores():
+    return tx.sql_lang_scores()
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = src.load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, min_jaccard_pct=JACCARD_PCT)
+
+
+def sql_ngram_jaccard():
+    return dedup.sql_ngram_jaccard_pairs(n=3, min_jaccard_pct=JACCARD_PCT)
+
+
+def q_knn_join_meta(spark, sf_dir):
+    """Equi-join of the spatial result back to the dimension table —
+    the engine's incidental relational layer (SURVEY §2.3)."""
+    pts = _geo_points(spark, sf_dir)
+    knn = knn_self_join(pts, k=3, d=3).select("src", "dst")
+    docs = src.load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("dst"), "lang"
+    )
+    return knn.join(F.broadcast(docs), "dst").select("src", "dst", "lang")
+
+
+def sql_knn_join_meta():
+    inner = sql_geo_knn(3)
+    return (
+        f"WITH knn AS ({inner}) "
+        "SELECT knn.src AS src, knn.dst AS dst, d.lang AS lang "
+        "FROM knn JOIN documents d ON d.doc_id = knn.dst"
+    )
+
+
+# ---- rows-only (non-SQL-expressible) ops --------------------------------------
+
+def q_minhash_neardup(spark, sf_dir):
+    docs = src.load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, n=3, num_perm=64, bands=16,
+                                     min_jaccard_pct=JACCARD_PCT)
+
+
+def q_simhash_neardup(spark, sf_dir):
+    docs = src.load_table(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(docs, max_hamming=3)
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    docs = src.load_table(spark, sf_dir, "documents")
+    return dedup.doc_fingerprints(docs)
+
+
+def q_ivf_topk(spark, sf_dir):
+    embs = src.load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(embs, k=5, nlist=16, nprobe=4)
+
+
+# ---- registry ------------------------------------------------------------------
+
+def catalog():
+    """name -> (spark_fn, oracle_sql_or_None)"""
+    return {
+        "geo_cell_assign": (q_geo_cell_assign, sql_geo_cell_assign()),
+        "geo_cell_histogram": (q_geo_cell_histogram, sql_geo_cell_histogram()),
+        "geo_ball_join": (q_geo_ball_join, sql_geo_ball_join()),
+        "geo_knn": (q_geo_knn, sql_geo_knn()),
+        "pip_convex": (q_pip_convex, sql_pip_convex()),
+        "tile_assign": (q_tile_assign, sql_tile_assign()),
+        "tile_histogram": (q_tile_histogram, sql_tile_histogram()),
+        "tile_window": (q_tile_window, sql_tile_window()),
+        "emb_ball_join": (q_emb_ball_join, sql_emb_ball_join()),
+        "emb_knn": (q_emb_knn, sql_emb_knn()),
+        "cosine_topk": (q_cosine_topk, sql_cosine_topk()),
+        "emb_neardup": (q_emb_neardup, sql_emb_neardup()),
+        "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
+        "token_count": (q_token_count, sql_token_count()),
+        "quality": (q_quality, sql_quality()),
+        "lang_scores": (q_lang_scores, sql_lang_scores()),
+        "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard()),
+        "knn_join_meta": (q_knn_join_meta, sql_knn_join_meta()),
+        "minhash_neardup": (q_minhash_neardup, None),
+        "simhash_neardup": (q_simhash_neardup, None),
+        "doc_fingerprints": (q_doc_fingerprints, None),
+        "ivf_topk": (q_ivf_topk, None),
+    }
