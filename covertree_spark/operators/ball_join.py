@@ -41,13 +41,18 @@ def ball_self_join(
     leaf_size: int = ct.DEFAULT_LEAF_SIZE,
     strategy: str = "range",
     cell_col: str = "cell",
+    fine_col: str | None = None,
+    brute_cutoff: int = 1024,
 ) -> DataFrame:
     """points must carry (id, vec, cell). Returns (src, dst, dist),
     src != dst, both directions."""
     spark = points.sparkSession
-    stats = cell_stats(points, d, cell_col)
+    points = points.persist()  # scanned by stats (2x), ghosts, homes
+    stats = cell_stats(points, d, cell_col, fine_col)
     stats_bc = spark.sparkContext.broadcast(stats)
     assigned = replicate_ghosts(points, stats_bc, radius, cell_col)
+    nparts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                        len(stats.partition_cells)))
 
     def per_cell(_cell, pdf: pd.DataFrame) -> pd.DataFrame:
         home = pdf[~pdf["is_ghost"]]
@@ -57,16 +62,25 @@ def ball_self_join(
             )
         H = vec_matrix(home)
         hid = home["id"].to_numpy()
-        tree = ct.build(H, cover=cover, leaf_size=leaf_size)
         Q = vec_matrix(pdf)
         qid = pdf["id"].to_numpy()
-        qi, pi, di = ct.radius_query(tree, H, Q, radius)
+        if len(H) <= brute_cutoff:
+            # small build side: a BLAS matrix pass beats tree descent
+            # (and in high-d with r near the distance concentration the
+            # tree cannot prune anyway — same edge set either way)
+            d2 = ct.pairwise_sq_dists(Q, H)
+            qi, pi = np.nonzero(d2 <= radius * radius)
+            di = np.sqrt(d2[qi, pi])
+        else:
+            tree = ct.build(H, cover=cover, leaf_size=leaf_size)
+            qi, pi, di = ct.radius_query(tree, H, Q, radius)
         src = qid[qi]
         dst = hid[pi]
         keep = src != dst
         return pd.DataFrame({"src": src[keep], "dst": dst[keep], "dist": di[keep]})
 
-    return grouped_apply(assigned, "cell", per_cell, EDGE_SCHEMA, strategy=strategy)
+    return grouped_apply(assigned, "cell", per_cell, EDGE_SCHEMA, strategy=strategy,
+                         num_partitions=nparts)
 
 
 def brute_ball_join(points: DataFrame, radius: float) -> DataFrame:

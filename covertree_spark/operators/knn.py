@@ -47,14 +47,19 @@ def knn_self_join(
     leaf_size: int = ct.DEFAULT_LEAF_SIZE,
     strategy: str = "range",
     cell_col: str = "cell",
+    fine_col: str | None = None,
     queries: DataFrame | None = None,
+    brute_cutoff: int = 1024,
 ) -> DataFrame:
     """Exact kNN of every query against ``points`` (self-join by
     default: queries = points, self-pairs excluded). Returns
     (src, dst, rank, dist) with rank 1..k ordered by (dist, dst)."""
     spark = points.sparkSession
-    stats = cell_stats(points, d, cell_col)
+    points = points.persist()  # scanned by stats (2x), homes, (queries)
+    stats = cell_stats(points, d, cell_col, fine_col)
     stats_bc = spark.sparkContext.broadcast(stats)
+    nparts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                        len(stats.partition_cells)))
     qdf = queries if queries is not None else points
     self_join = queries is None
     need = k + 1 if self_join else k  # +1 absorbs the self-hit
@@ -81,14 +86,28 @@ def knn_self_join(
             prefix_mask = np.arange(lb.shape[1])[None, :] <= cut[:, None]
             ub_sorted = np.take_along_axis(ub, ordc, axis=1)
             ub_k = np.where(prefix_mask, ub_sorted, -np.inf).max(axis=1)
+            # SAFETY MARGIN: ub/lb carry ~1e-15 relative float noise; a
+            # true kth neighbor can sit exactly AT the bound. Inflate by
+            # 1e-9 relative — candidates become a strict superset, and
+            # the final merge ranks on exact distances, so the result
+            # is unchanged except that boundary misses become impossible.
+            ub_k = ub_k * (1.0 + 1e-9)
             cand = lb <= ub_k[:, None]
-            qi, cj = np.nonzero(cand)
+            qi, ej = np.nonzero(cand)
+            # dedupe (query, partition-cell): several fine stats entries
+            # can map to one coarse cell
+            coarse = st.cell_ids
+            stride = int(coarse.max()) + 1 if len(coarse) else 1
+            key = qi.astype(np.int64) * stride + coarse[ej]
+            uk = np.unique(key)
+            qi2 = uk // stride
+            tgt = uk % stride
             yield pd.DataFrame(
                 {
-                    "cell": st.cell_ids[cj],
-                    "qid": pdf["id"].to_numpy()[qi],
-                    "vec": pdf["vec"].to_numpy()[qi],
-                    "rq": ub_k[qi],
+                    "cell": tgt,
+                    "qid": pdf["id"].to_numpy()[qi2],
+                    "vec": pdf["vec"].to_numpy()[qi2],
+                    "rq": ub_k[qi2],
                 }
             )
 
@@ -112,11 +131,16 @@ def knn_self_join(
             )
         H = vec_matrix(homes)
         hid = homes["qid"].to_numpy()  # home rows carry their point id in qid
-        tree = ct.build(H, cover=cover, leaf_size=leaf_size)
         Q = vec_matrix(qs)
         qids = qs["qid"].to_numpy()
         rq = qs["rq"].to_numpy()
-        qi, pi, di = ct.radius_query(tree, H, Q, rq)
+        if len(H) <= brute_cutoff:
+            d2 = ct.pairwise_sq_dists(Q, H)
+            qi, pi = np.nonzero(d2 <= (rq * rq)[:, None])
+            di = np.sqrt(d2[qi, pi])
+        else:
+            tree = ct.build(H, cover=cover, leaf_size=leaf_size)
+            qi, pi, di = ct.radius_query(tree, H, Q, rq)
         src = qids[qi]
         dst = hid[pi]
         if self_join:
@@ -128,7 +152,8 @@ def knn_self_join(
                                              tiebreak_ids=dst)
         return pd.DataFrame({"qid": src[ploc], "nid": dst[ploc], "dist": di[ploc]})
 
-    parts = grouped_apply(assigned, "cell", per_cell, PART_SCHEMA, strategy=strategy)
+    parts = grouped_apply(assigned, "cell", per_cell, PART_SCHEMA, strategy=strategy,
+                          num_partitions=nparts)
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid").asc())
     return (
         parts.withColumn("rank", F.row_number().over(w))

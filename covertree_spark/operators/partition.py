@@ -46,12 +46,24 @@ from ..sources.tables import vec_matrix
 
 @dataclass
 class CellStats:
-    """Broadcast-able per-cell summary (small: O(#cells))."""
+    """Broadcast-able per-group summary (small: O(#groups)).
 
-    cell_ids: np.ndarray  # (C,) int64, sorted
+    Each entry is one stats group; ``cell_ids[i]`` is the PARTITION
+    cell the group's points live in. With two-level stats (a finer
+    ``fine_col`` grouping) several entries share a partition cell —
+    bounds get tighter (sub-cell circumradii) while the shuffle key
+    stays coarse. The coarse/fine relation is derived from the data,
+    so it works identically for geo cells, Voronoi cells and split
+    hot cells."""
+
+    cell_ids: np.ndarray  # (C,) int64 partition cell per entry
     counts: np.ndarray  # (C,) int64
     centroids: np.ndarray  # (C, d) float64
     circumradii: np.ndarray  # (C,) float64
+
+    @property
+    def partition_cells(self) -> np.ndarray:
+        return np.unique(self.cell_ids)
 
     def lower_bounds(self, Q: np.ndarray) -> np.ndarray:
         """(nq, C) lower bound on d(q, any point of cell c)."""
@@ -96,37 +108,38 @@ def assign_voronoi_cells(points: DataFrame, centers: np.ndarray) -> DataFrame:
     return points.mapInPandas(assign, schema=schema)
 
 
-def voronoi_centers(points: DataFrame, k: int) -> np.ndarray:
-    """Gonzalez greedy farthest-point centers as k iterative DataFrame
-    aggregations (reference O1, the MPI argmax allreduce ->
-    ``max_by(struct(dist,id,vec))``). Deterministic: seeded at the
-    min-id point; distance ties broken by larger id (max_by struct
-    ordering). Returns (k, d) float64."""
-    pts = points.select("id", "vec").persist()
-    try:
-        first = pts.orderBy("id").limit(1).collect()[0]
-        centers = [np.asarray(first["vec"], dtype=np.float64)]
-        d = len(centers[0])
-        dist_expr = None
-        cur = pts.withColumn("mind", F.lit(float("inf")))
-        for _ in range(k - 1):
-            c = centers[-1]
-            dist_new = F.sqrt(
-                sum(
-                    (F.col("vec")[i] - F.lit(float(c[i])))
-                    * (F.col("vec")[i] - F.lit(float(c[i])))
-                    for i in range(d)
-                )
-            )
-            cur = cur.withColumn("mind", F.least(F.col("mind"), dist_new))
-            far = cur.agg(
-                F.max_by(F.struct("mind", "id", "vec"), F.struct("mind", "id")).alias("m")
-            ).collect()[0]["m"]
-            centers.append(np.asarray(far["vec"], dtype=np.float64))
-            cur = cur.persist()
-        return np.stack(centers)
-    finally:
-        pts.unpersist()
+def voronoi_centers(points: DataFrame, k: int, sample_size: int = 4096) -> np.ndarray:
+    """Gonzalez greedy farthest-point centers (reference O1,
+    /root/reference/src/dist_point_vector.cpp:455-563) over a
+    deterministic hash-ordered sample.
+
+    The reference runs k distributed argmax reductions over ALL points;
+    at Spark scale that is k full scans. Center choice only affects
+    load balance, never correctness (ghosting/kNN bounds are exact for
+    any centers), so we take the top ``sample_size`` rows by
+    ``xxhash64(id)`` — one bounded-size shuffle, parallelism-invariant
+    — and run the exact Gonzalez loop in numpy on the driver.
+    Returns (k, d) float64."""
+    pdf = (
+        points.select("id", "vec")
+        .orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
+        .limit(sample_size)
+        .toPandas()
+    )
+    X = vec_matrix(pdf)
+    ids = pdf["id"].to_numpy()
+    k = min(k, len(ids))
+    start = int(ids.argmin())
+    from ..core.covertree import dists_to
+
+    centers = [X[start]]
+    mind = dists_to(X, X[start])
+    for _ in range(k - 1):
+        # tie-break by larger id (matches max_by(struct(dist,id)))
+        far = int(np.lexsort((ids, mind))[-1])
+        centers.append(X[far])
+        mind = np.minimum(mind, dists_to(X, X[far]))
+    return np.stack(centers)
 
 
 def cell_counts(points: DataFrame) -> DataFrame:
@@ -163,35 +176,37 @@ def split_hot_cells(
     )
 
 
-def cell_stats(points: DataFrame, d: int, cell_col: str = "cell") -> CellStats:
-    """Two-pass per-cell stats, all JVM-side partial aggregation:
+def cell_stats(
+    points: DataFrame, d: int, cell_col: str = "cell", fine_col: str | None = None
+) -> CellStats:
+    """Two-pass per-group stats, all JVM-side partial aggregation:
     pass 1 count + per-dimension sums -> centroid; pass 2 max distance
-    to centroid -> circumradius. Result is tiny (O(#cells)) and gets
-    broadcast to every task."""
-    sums = points.groupBy(cell_col).agg(
+    to centroid -> circumradius. Result is tiny (O(#groups)) and gets
+    broadcast to every task.
+
+    With ``fine_col``, groups are (cell, fine) pairs: sub-cell bounds
+    for pruning, coarse cell for partitioning."""
+    keys = [cell_col] + ([fine_col] if fine_col else [])
+    sums = points.groupBy(*keys).agg(
         F.count("*").alias("cnt"),
         *[F.sum(F.col("vec")[i]).alias(f"s{i}") for i in range(d)],
     )
     cent = sums.select(
-        cell_col,
+        *keys,
         "cnt",
         F.array(*[F.col(f"s{i}") / F.col("cnt") for i in range(d)]).alias("centroid"),
     )
-    joined = points.join(F.broadcast(cent), cell_col)
+    joined = points.join(F.broadcast(cent), keys)
     dist2 = sum(
         (F.col("vec")[i] - F.col("centroid")[i]) * (F.col("vec")[i] - F.col("centroid")[i])
         for i in range(d)
     )
     radii = (
-        joined.groupBy(cell_col)
+        joined.groupBy(*keys)
         .agg(F.max(dist2).alias("r2"))
-        .select(cell_col, F.sqrt(F.col("r2")).alias("circumradius"))
+        .select(*keys, F.sqrt(F.col("r2")).alias("circumradius"))
     )
-    pdf = (
-        cent.join(radii, cell_col)
-        .orderBy(cell_col)
-        .toPandas()
-    )
+    pdf = cent.join(radii, keys).orderBy(*keys).toPandas()
     return CellStats(
         cell_ids=pdf[cell_col].to_numpy(dtype=np.int64),
         counts=pdf["cnt"].to_numpy(dtype=np.int64),
@@ -215,18 +230,19 @@ def replicate_ghosts(
 
     def dilate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         st: CellStats = stats_bc.value
-        cell_index = {int(c): j for j, c in enumerate(st.cell_ids)}
+        coarse = st.cell_ids
+        stride = int(coarse.max()) + 1 if len(coarse) else 1
         for pdf in batches:
             if pdf.empty:
                 continue
             X = vec_matrix(pdf)
-            lb = st.lower_bounds(X)  # (n, C)
+            lb = st.lower_bounds(X)  # (n, E) over stats entries
             home = pdf[cell_col].to_numpy()
-            home_j = np.asarray([cell_index[int(c)] for c in home])
             n = len(pdf)
-            cand = lb <= radius
-            cand[np.arange(n), home_j] = False  # home handled separately
-            pi, cj = np.nonzero(cand)
+            # 1e-9 relative slack: lb carries float noise; replication
+            # must be a superset (the per-cell query re-filters exactly)
+            cand = (lb <= radius * (1.0 + 1e-9)) & (coarse[None, :] != home[:, None])
+            pi, ej = np.nonzero(cand)
             out_home = pd.DataFrame(
                 {
                     "cell": home.astype(np.int64),
@@ -236,12 +252,18 @@ def replicate_ghosts(
                 }
             )
             if len(pi):
+                # dedupe (point, partition-cell): several fine entries
+                # may map to the same coarse cell
+                key = pi.astype(np.int64) * stride + coarse[ej]
+                uk = np.unique(key)
+                pi2 = uk // stride
+                tgt = uk % stride
                 out_ghost = pd.DataFrame(
                     {
-                        "cell": st.cell_ids[cj],
-                        "id": pdf["id"].to_numpy()[pi],
-                        "vec": pdf["vec"].to_numpy()[pi],
-                        "is_ghost": np.ones(len(pi), dtype=bool),
+                        "cell": tgt,
+                        "id": pdf["id"].to_numpy()[pi2],
+                        "vec": pdf["vec"].to_numpy()[pi2],
+                        "is_ghost": np.ones(len(pi2), dtype=bool),
                     }
                 )
                 yield pd.concat([out_home, out_ghost], ignore_index=True)

@@ -17,25 +17,58 @@ from .partition import assign_voronoi_cells, voronoi_centers
 
 
 def cosine_topk_brute(embs: DataFrame, k: int) -> DataFrame:
-    """Exact cosine top-k self-join, all JVM-side: zip_with dot
-    products + window rank. Output (src, dst, rank). Quadratic — the
-    ground-truth baseline the IVF path is measured against."""
-    v = embs.select(
-        F.col("vec_id").alias("id"),
-        F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("n", F.sqrt(_dot("v", "v")))
-    x = v.select(F.col("id").alias("src"), F.col("v").alias("va"), F.col("n").alias("na"))
-    y = v.select(F.col("id").alias("dst"), F.col("v").alias("vb"), F.col("n").alias("nb"))
-    pairs = (
-        x.join(y, F.col("src") != F.col("dst"))
-        .withColumn("cos", _dot("va", "vb") / (F.col("na") * F.col("nb")))
+    """Exact cosine top-k self-join: broadcast the (normalized) build
+    side, stream query batches through one BLAS matmul per Arrow batch
+    (mapInPandas). Output (src, dst, rank). Quadratic flops but one
+    scan, map-only, no shuffle — the ground-truth baseline the IVF
+    path is measured against. (A crossJoin + higher-order-function
+    plan was 30x slower: zip_with/aggregate is interpreted per
+    element, not codegen'd.)"""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.tables import vec_matrix
+
+    spark = embs.sparkSession
+    base = embs.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("vec")
     )
-    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("src", "dst", "rank")
-    )
+    pdf = base.toPandas()
+    X = vec_matrix(pdf)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ids = pdf["id"].to_numpy()
+    bc = spark.sparkContext.broadcast((Xn, ids))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B, bids = bc.value
+        for b in batches:
+            if b.empty:
+                continue
+            Q = vec_matrix(b)
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            qids = b["id"].to_numpy()
+            cos = Qn @ B.T
+            # exclude self, rank by (-cos, id)
+            self_mask = qids[:, None] == bids[None, :]
+            cos[self_mask] = -np.inf
+            nq = cos.shape[0]
+            kk = min(k, cos.shape[1] - 1)
+            part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(nq), kk)
+            cand_cos = cos[rows, part.ravel()]
+            cand_ids = bids[part.ravel()]
+            order = np.lexsort((cand_ids, -cand_cos, rows))
+            rank = np.tile(np.arange(1, kk + 1), nq)
+            yield pd.DataFrame(
+                {
+                    "src": qids[rows[order]],
+                    "dst": cand_ids[order],
+                    "rank": rank.astype(np.int64),
+                }
+            )
+
+    return base.mapInPandas(scan, schema="src bigint, dst bigint, rank bigint")
 
 
 def cosine_knn_exact(embs: DataFrame, k: int, voronoi_k: int = 8) -> DataFrame:

@@ -1,0 +1,143 @@
+"""Iceberg-style checkpoint / lineage / metrics layer (parquet-backed;
+no Iceberg jars in this environment — same table layout semantics:
+data files + snapshot manifests + append-only metrics).
+
+north_rule requirements covered here:
+  * every stage checkpoints per-partition lineage and row-count
+    metrics;
+  * runs resume mid-build: a stage whose snapshot is already committed
+    is read back, not recomputed.
+
+Layout under a warehouse root:
+    <root>/<table>/data/*.parquet          stage output
+    <root>/<table>/_snapshots/<id>.json    commit manifest (atomic:
+                                           written last, via rename)
+    <root>/_metrics/*.parquet              (run_id, table, partition_id,
+                                           row_count, wall_s, ts)
+
+The snapshot id is a content address: hash of (stage name, upstream
+snapshot ids, parameters) — so changing any input invalidates exactly
+the downstream stages, the moral equivalent of Iceberg snapshot
+lineage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def snapshot_id(stage: str, upstream: list[str], params: dict) -> str:
+    blob = json.dumps({"stage": stage, "upstream": upstream, "params": params},
+                      sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+class Warehouse:
+    def __init__(self, root: str, run_id: str = "run0"):
+        self.root = root
+        self.run_id = run_id
+        os.makedirs(root, exist_ok=True)
+
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_path(self, table: str, snap: str) -> str:
+        return os.path.join(self._table_dir(table), "_snapshots", f"{snap}.json")
+
+    def is_committed(self, table: str, snap: str) -> bool:
+        return os.path.exists(self._manifest_path(table, snap))
+
+    def checkpoint(
+        self,
+        df: DataFrame,
+        table: str,
+        snap: str,
+        compute_if_missing: bool = True,
+    ) -> DataFrame:
+        """Write-once stage boundary: if ``snap`` is committed, read it
+        back (resume path — upstream lineage is NOT recomputed);
+        otherwise materialize ``df``, record per-partition row counts,
+        and commit the manifest last (atomic rename) so a killed run
+        never leaves a half-committed snapshot."""
+        spark = df.sparkSession
+        data_dir = os.path.join(self._table_dir(table), "data", snap)
+        if self.is_committed(table, snap):
+            return spark.read.parquet(data_dir)
+        if not compute_if_missing:
+            raise RuntimeError(f"snapshot {table}@{snap} not committed")
+
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(data_dir)
+        out = spark.read.parquet(data_dir)
+        # per-partition lineage/row-count metrics (reference A5 stats,
+        # rgraph.py:131-151, as a table instead of a JSON blob)
+        metrics = (
+            out.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("row_count"))
+            .withColumn("run_id", F.lit(self.run_id))
+            .withColumn("table", F.lit(table))
+            .withColumn("snapshot", F.lit(snap))
+            .withColumn("wall_s", F.lit(time.time() - t0))
+            .withColumn("ts", F.current_timestamp())
+        )
+        mdir = os.path.join(self.root, "_metrics")
+        metrics.write.mode("append").parquet(mdir)
+
+        man = self._manifest_path(table, snap)
+        os.makedirs(os.path.dirname(man), exist_ok=True)
+        tmp = man + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "snapshot": snap,
+                    "table": table,
+                    "run_id": self.run_id,
+                    "rows": out.count(),
+                    "committed_at": time.time(),
+                },
+                f,
+            )
+        os.rename(tmp, man)
+        return out
+
+    def read(self, spark: SparkSession, table: str, snap: str) -> DataFrame:
+        if not self.is_committed(table, snap):
+            raise RuntimeError(f"snapshot {table}@{snap} not committed")
+        return spark.read.parquet(os.path.join(self._table_dir(table), "data", snap))
+
+    def metrics(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, "_metrics"))
+
+    def manifest(self, table: str, snap: str) -> dict:
+        with open(self._manifest_path(table, snap)) as f:
+            return json.load(f)
+
+
+def checkpointed_ball_join(
+    spark: SparkSession,
+    points: DataFrame,
+    radius: float,
+    d: int,
+    wh: Warehouse,
+    params: dict | None = None,
+) -> DataFrame:
+    """The cvor pipeline with stage checkpoints: points -> stats+ghosts
+    -> edges, each stage resumable (SURVEY §3.3 lifecycle with
+    snapshot boundaries)."""
+    from ..operators.ball_join import ball_self_join
+
+    params = dict(params or {}, radius=radius, d=d)
+    s_points = snapshot_id("points", [], params)
+    pts = wh.checkpoint(points, "points", s_points)
+    s_edges = snapshot_id("edges", [s_points], params)
+    if wh.is_committed("edges", s_edges):
+        return wh.read(spark, "edges", s_edges)
+    edges = ball_self_join(pts, radius, d=d)
+    return wh.checkpoint(edges, "edges", s_edges)

@@ -34,7 +34,7 @@ EMB_BALL_R = 1.1
 COS_TAU = 0.35
 JACCARD_PCT = 80
 KNN_K = 10
-GEO_RES = 3  # join partitioning resolution
+GEO_RES = 2  # join partitioning resolution (fine bounds at GEO_RES+2)
 CELL_RES = 4  # cell-assignment query resolution
 TILE_Z = 4
 HIST_Z = 6
@@ -53,15 +53,26 @@ _PTS_CTE = (
 
 
 def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, vec[xyz], cell, cell_fine): coarse cell = shuffle key,
+    fine cell (res+2) = tighter broadcast pruning bounds."""
     xyz = src.doc_points_xyz(spark, sf_dir)
     ll = assign_cells(src.doc_points_lonlat(spark, sf_dir), res=GEO_RES)
-    return xyz.join(ll.select("id", "cell"), "id")
+    fine = cellcodec.sql_cell_expr("lon", "lat", GEO_RES + 2)
+    ll = ll.withColumn("cell_fine", F.expr(fine))
+    return xyz.join(ll.select("id", "cell", "cell_fine"), "id")
 
 
 def _emb_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, vec, cell, cell_fine): coarse Voronoi cell for the shuffle,
+    finer Voronoi assignment for pruning bounds."""
     pts = src.embedding_points(spark, sf_dir)
     centers = voronoi_centers(pts, k=VORONOI_K)
-    return assign_voronoi_cells(pts, centers)
+    coarse = assign_voronoi_cells(pts, centers)
+    fine_centers = voronoi_centers(pts, k=VORONOI_K * 8)
+    fine = assign_voronoi_cells(pts, fine_centers).select(
+        "id", F.col("cell").alias("cell_fine")
+    )
+    return coarse.join(fine, "id")
 
 
 # ---- geo queries ------------------------------------------------------------
@@ -88,7 +99,7 @@ def sql_geo_cell_histogram():
 
 def q_geo_ball_join(spark, sf_dir):
     pts = _geo_points(spark, sf_dir)
-    return ball_self_join(pts, GEO_BALL_R, d=3).select("src", "dst")
+    return ball_self_join(pts, GEO_BALL_R, d=3, fine_col="cell_fine").select("src", "dst")
 
 
 def sql_geo_ball_join():
@@ -101,7 +112,7 @@ def sql_geo_ball_join():
 
 def q_geo_knn(spark, sf_dir):
     pts = _geo_points(spark, sf_dir)
-    knn = knn_self_join(pts, k=KNN_K, d=3)
+    knn = knn_self_join(pts, k=KNN_K, d=3, fine_col="cell_fine")
     return knn.select("src", "dst", F.col("rank").cast("bigint").alias("rank"))
 
 
@@ -184,7 +195,7 @@ def sql_tile_window():
 
 def q_emb_ball_join(spark, sf_dir):
     pts = _emb_points(spark, sf_dir)
-    return ball_self_join(pts, EMB_BALL_R, d=64).select("src", "dst")
+    return ball_self_join(pts, EMB_BALL_R, d=64, fine_col="cell_fine").select("src", "dst")
 
 
 def sql_emb_ball_join():
@@ -198,7 +209,7 @@ def sql_emb_ball_join():
 
 def q_emb_knn(spark, sf_dir):
     pts = _emb_points(spark, sf_dir)
-    knn = knn_self_join(pts, k=KNN_K, d=64)
+    knn = knn_self_join(pts, k=KNN_K, d=64, fine_col="cell_fine")
     return knn.select("src", "dst", F.col("rank").cast("bigint").alias("rank"))
 
 
@@ -307,7 +318,7 @@ def q_knn_join_meta(spark, sf_dir):
     """Equi-join of the spatial result back to the dimension table —
     the engine's incidental relational layer (SURVEY §2.3)."""
     pts = _geo_points(spark, sf_dir)
-    knn = knn_self_join(pts, k=3, d=3).select("src", "dst")
+    knn = knn_self_join(pts, k=3, d=3, fine_col="cell_fine").select("src", "dst")
     docs = src.load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("dst"), "lang"
     )

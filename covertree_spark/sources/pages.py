@@ -1,0 +1,111 @@
+"""Deterministic synthetic Common-Crawl-style pages table (FIXTURES F1;
+BASELINE input_hint schema: url, warc_ts, html, text, lang).
+
+Content is a pure function of (seed, row index) — generated
+distributively with ``spark.range`` + ``mapInPandas`` so the exact same
+table materializes at any parallelism level and any scale (10^12 rows
+reach this same code path; only ``n`` differs). No external data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+PAGES_SCHEMA = (
+    "id bigint, url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+_LANGS = ["en", "de", "fr", "es", "zh"]
+_VOCAB_SIZE = 50_000
+_EPOCH = np.datetime64("2025-01-01T00:00:00")
+
+
+def _vocab() -> np.ndarray:
+    """50k deterministic pseudo-words."""
+    rng = np.random.default_rng(42)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    lens = rng.integers(3, 9, size=_VOCAB_SIZE)
+    return np.array(
+        ["".join(letters[rng.integers(0, 26, size=L)]) for L in lens], dtype=object
+    )
+
+
+def _row_text(i: int, vocab: np.ndarray, seed: int = 42) -> str:
+    """Deterministic token sequence for row i: sha256-seeded stream,
+    20-200 tokens (FIXTURES F1 rule)."""
+    h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+    rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+    n_tok = int(rng.integers(20, 201))
+    idx = rng.integers(0, _VOCAB_SIZE, size=n_tok)
+    return " ".join(vocab[j] for j in idx)
+
+
+def generate_pages(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab = _vocab()
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            texts = [_row_text(int(i), vocab, seed) for i in ids]
+            urls = [f"https://site{int(i) % 10_000}.example/p/{int(i)}" for i in ids]
+            ts = _EPOCH + ((ids * 37) % 31_536_000).astype("timedelta64[s]")
+            htmls = [b"<html>" + t.encode() + b"</html>" for t in texts]
+            langs = [_LANGS[int(i) % 5] for i in ids]
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "url": urls,
+                    "warc_ts": ts,
+                    "html": htmls,
+                    "text": texts,
+                    "lang": langs,
+                }
+            )
+
+    return spark.range(0, n, 1, parts).mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def pages_to_points(pages: DataFrame) -> DataFrame:
+    """pages -> (id, lon, lat, text) — geometry derived from the id via
+    the exact-arithmetic recipe; ``text`` passes through UNTOUCHED
+    (byte-identity invariant, input_hint)."""
+    from pyspark.sql import functions as F
+
+    from ..core import geometry
+
+    lon_e, lat_e = geometry.sql_lonlat_exprs("id")
+    return pages.select(
+        "id", F.expr(lon_e).alias("lon"), F.expr(lat_e).alias("lat"), "text"
+    )
+
+
+def featurize_text(pages: DataFrame, d: int = 16, seed: int = 42) -> DataFrame:
+    """pages -> (id, vec ARRAY<FLOAT>) seeded feature-hash of text
+    (vectorized; float32 like the reference's Atom type)."""
+    from ..functions.text import hash_tokens
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = []
+            for t in pdf["text"]:
+                toks = np.asarray(t.split(), dtype=object)
+                h = hash_tokens(toks)
+                v = np.zeros(d, dtype=np.float64)
+                bucket = (h % np.uint64(d)).astype(np.int64)
+                sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+                np.add.at(v, bucket, sign)
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    v /= nrm
+                vecs.append(v.astype(np.float32))
+            yield pd.DataFrame({"id": pdf["id"], "vec": vecs})
+
+    return pages.select("id", "text").mapInPandas(gen, schema="id bigint, vec array<float>")

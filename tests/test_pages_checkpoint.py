@@ -1,0 +1,91 @@
+"""Pages source (input_hint schema), byte-identity invariant,
+checkpoint/resume with lineage metrics."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from covertree_spark.plans.checkpoint import Warehouse, checkpointed_ball_join, snapshot_id
+from covertree_spark.sources.pages import featurize_text, generate_pages, pages_to_points
+
+
+def test_pages_schema_and_determinism(spark):
+    p1 = generate_pages(spark, 500, partitions=4).orderBy("id").collect()
+    p2 = generate_pages(spark, 500, partitions=13).orderBy("id").collect()
+    assert [r["text"] for r in p1] == [r["text"] for r in p2]  # parallelism-invariant
+    r = p1[7]
+    assert r["url"].startswith("https://site7.example/")
+    assert r["html"] == b"<html>" + r["text"].encode() + b"</html>"
+    assert r["lang"] in {"en", "de", "fr", "es", "zh"}
+    ntok = len(r["text"].split())
+    assert 20 <= ntok <= 200
+
+
+def test_text_byte_identity_through_stages(spark):
+    """input_hint hard invariant: text byte-identical per url through
+    every engine stage."""
+    pages = generate_pages(spark, 300, partitions=3)
+    orig = {r["url"]: r["text"] for r in pages.collect()}
+    pts = pages_to_points(pages)
+    staged = pts.join(pages.select("id", "url"), "id")
+    got = {r["url"]: r["text"] for r in staged.collect()}
+    assert got == orig
+    assert all(got[u].encode() == orig[u].encode() for u in orig)
+
+
+def test_featurize_unit_norm_float32(spark):
+    pages = generate_pages(spark, 100, partitions=2)
+    vecs = featurize_text(pages, d=16).collect()
+    assert len(vecs) == 100
+    for r in vecs[:10]:
+        v = np.asarray(r["vec"], dtype=np.float32)
+        assert v.shape == (16,)
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from covertree_spark.operators.partition import assign_cells
+    from covertree_spark.sources.pages import pages_to_points
+    from covertree_spark.sources.tables import vec_matrix
+
+    wh = Warehouse(str(tmp_path / "wh"), run_id="t1")
+    pages = generate_pages(spark, 200, partitions=4)
+    pts = pages_to_points(pages)
+    pts = assign_cells(pts, res=2)
+    from covertree_spark.sources.tables import _xyz_udf
+
+    pts3 = pts.select("id", _xyz_udf("lon", "lat").alias("vec"), "cell")
+
+    e1 = checkpointed_ball_join(spark, pts3, 0.3, d=3, wh=wh)
+    rows1 = sorted((r["src"], r["dst"]) for r in e1.collect())
+
+    # resume: recompute must be skipped (same snapshot ids -> read back)
+    e2 = checkpointed_ball_join(spark, pts3, 0.3, d=3, wh=wh)
+    rows2 = sorted((r["src"], r["dst"]) for r in e2.collect())
+    assert rows1 == rows2
+
+    # metrics rows exist per table with per-partition row counts
+    m = wh.metrics(spark).toPandas()
+    assert set(m["table"]) >= {"points", "edges"}
+    assert (m["row_count"] >= 0).all()
+    total_points = int(m[m["table"] == "points"]["row_count"].sum())
+    assert total_points == 200
+
+    # only ONE snapshot manifest per table (second run reused it)
+    snaps = os.listdir(tmp_path / "wh" / "edges" / "_snapshots")
+    assert len(snaps) == 1
+
+    # changing a parameter creates a NEW snapshot (no false cache hit)
+    e3 = checkpointed_ball_join(spark, pts3, 0.5, d=3, wh=wh)
+    assert len(os.listdir(tmp_path / "wh" / "edges" / "_snapshots")) == 2
+    assert len(sorted((r["src"], r["dst"]) for r in e3.collect())) > len(rows1)
+
+
+def test_snapshot_id_content_addressing():
+    a = snapshot_id("edges", ["abc"], {"r": 0.3})
+    b = snapshot_id("edges", ["abc"], {"r": 0.3})
+    c = snapshot_id("edges", ["abc"], {"r": 0.5})
+    d = snapshot_id("edges", ["xyz"], {"r": 0.3})
+    assert a == b and a != c and a != d
