@@ -44,6 +44,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     cat = Q.catalog()
 
+    # warmup: JVM, python workers, parquet footers — not part of any
+    # query's cost at a real deployment (long-lived session)
+    for t in ("documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    cat["tile_assign"][0](spark, SF_DIR).count()
+
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for name in BENCH_QUERIES:

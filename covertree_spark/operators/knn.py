@@ -67,32 +67,63 @@ def knn_self_join(
     def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         st: CellStats = stats_bc.value
         order_counts = st.counts
-        for pdf in batches:
-            if pdf.empty:
+        # keep the (queries x entries) working matrices CACHE-RESIDENT
+        # (~2MB): on shared-bandwidth hosts, streaming matrices through
+        # memory serializes all workers; cache-sized blocks scale.
+        chunk = max(64, (1 << 21) // (8 * max(1, len(st.cell_ids))))
+        for whole in batches:
+            if whole.empty:
                 continue
+            for s in range(0, len(whole), chunk):
+                pdf = whole.iloc[s : s + chunk]
+                yield from _phase1_chunk(st, order_counts, pdf)
+
+    def _phase1_chunk(st, order_counts, pdf):
             Q = vec_matrix(pdf)
             from ..core.covertree import pairwise_sq_dists
 
-            dc = np.sqrt(pairwise_sq_dists(Q, st.centroids))
-            lb = np.maximum(dc - st.circumradii[None, :], 0.0)
-            ub = dc + st.circumradii[None, :]
-            # per query: cells in lb order until cumulative count >= need
-            ordc = np.argsort(lb, axis=1, kind="stable")
-            counts_sorted = order_counts[ordc]
-            cum = np.cumsum(counts_sorted, axis=1)
-            # index of first prefix position reaching `need`
-            reach = cum >= min(need, int(order_counts.sum()))
+            # ONE GEMM over (queries x entries); everything exact is
+            # computed only on the tiny per-query selection. The big
+            # matrix is touched O(1) more times (argpartition + final
+            # compare) — this code path is memory-bandwidth-critical.
+            d2 = pairwise_sq_dists(Q, st.centroids)
+            circ = st.circumradii
+            E = d2.shape[1]
+            total = int(order_counts.sum())
+            goal = min(need, total)
+            # Select a covering set per query: entries in d2 order
+            # until counts reach `goal`. (Any covering set yields a
+            # VALID upper bound ub = max over it of dc+circ; d2 order
+            # is a cheap proxy for lb order.)
+            m = min(E, max(8, 4 * max(1, need // max(1, int(order_counts.min())))))
+            while True:
+                part = (
+                    np.argpartition(d2, m - 1, axis=1)[:, :m] if m < E
+                    else np.broadcast_to(np.arange(E), d2.shape).copy()
+                )
+                d2_part = np.take_along_axis(d2, part, axis=1)
+                ord2 = np.argsort(d2_part, axis=1, kind="stable")
+                sorted_idx = np.take_along_axis(part, ord2, axis=1)
+                cum = np.cumsum(order_counts[sorted_idx], axis=1)
+                reach = cum >= goal
+                if bool(reach.any(axis=1).all()) or m >= E:
+                    break
+                m = min(E, m * 4)
             cut = reach.argmax(axis=1)  # first True per row
-            prefix_mask = np.arange(lb.shape[1])[None, :] <= cut[:, None]
-            ub_sorted = np.take_along_axis(ub, ordc, axis=1)
-            ub_k = np.where(prefix_mask, ub_sorted, -np.inf).max(axis=1)
-            # SAFETY MARGIN: ub/lb carry ~1e-15 relative float noise; a
+            cut = np.where(reach.any(axis=1), cut, m - 1)
+            prefix_mask = np.arange(m)[None, :] <= cut[:, None]
+            dc_sel = np.sqrt(np.take_along_axis(d2_part, ord2, axis=1))
+            ub_sel = dc_sel + circ[sorted_idx]
+            ub_k = np.where(prefix_mask, ub_sel, -np.inf).max(axis=1)
+            # SAFETY MARGIN: bounds carry ~1e-15 relative float noise; a
             # true kth neighbor can sit exactly AT the bound. Inflate by
             # 1e-9 relative — candidates become a strict superset, and
             # the final merge ranks on exact distances, so the result
             # is unchanged except that boundary misses become impossible.
             ub_k = ub_k * (1.0 + 1e-9)
-            cand = lb <= ub_k[:, None]
+            # candidate entries: lb <= ub_k  <=>  d2 <= (ub_k + circ)^2
+            thr = ub_k[:, None] + circ[None, :]
+            cand = d2 <= thr * thr
             qi, ej = np.nonzero(cand)
             # dedupe (query, partition-cell): several fine stats entries
             # can map to one coarse cell

@@ -232,16 +232,29 @@ def replicate_ghosts(
         st: CellStats = stats_bc.value
         coarse = st.cell_ids
         stride = int(coarse.max()) + 1 if len(coarse) else 1
-        for pdf in batches:
-            if pdf.empty:
+        # cache-resident (points x entries) working matrices (~2MB);
+        # see knn.phase1 for rationale
+        chunk = max(64, (1 << 21) // (8 * max(1, len(coarse))))
+        for whole in batches:
+            if whole.empty:
                 continue
+            for s in range(0, len(whole), chunk):
+                pdf = whole.iloc[s : s + chunk]
+                yield from _dilate_chunk(st, coarse, stride, pdf)
+
+    def _dilate_chunk(st, coarse, stride, pdf):
+            from ..core.covertree import pairwise_sq_dists
+
             X = vec_matrix(pdf)
-            lb = st.lower_bounds(X)  # (n, E) over stats entries
             home = pdf[cell_col].to_numpy()
             n = len(pdf)
-            # 1e-9 relative slack: lb carries float noise; replication
-            # must be a superset (the per-cell query re-filters exactly)
-            cand = (lb <= radius * (1.0 + 1e-9)) & (coarse[None, :] != home[:, None])
+            # lb <= r  <=>  d2 <= (r + circ)^2 : one GEMM + one compare,
+            # no sqrt pass over the big matrix (memory-bandwidth-bound).
+            # 1e-9 relative slack: bounds carry float noise; replication
+            # must be a superset (the per-cell query re-filters exactly).
+            d2 = pairwise_sq_dists(X, st.centroids)
+            thr = radius * (1.0 + 1e-9) + st.circumradii
+            cand = (d2 <= (thr * thr)[None, :]) & (coarse[None, :] != home[:, None])
             pi, ej = np.nonzero(cand)
             out_home = pd.DataFrame(
                 {

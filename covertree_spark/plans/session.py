@@ -43,6 +43,16 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus), 8)
+    # Worker-process memory hygiene, inherited via the JVM child env:
+    #  - glibc: never mmap/munmap large numpy buffers (first-touch page
+    #    faults are pathologically slow on this hardware; keep the heap
+    #    and reuse it across tasks)
+    #  - BLAS: one thread per worker (local[N] already saturates cores)
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("MKL_NUM_THREADS", "1")
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

@@ -85,7 +85,9 @@ def test_knn_matches_bruteforce(k):
     eq, ep, ed = brute_knn(X, X, k, exclude_self_idx=ids)
     assert np.array_equal(qg, eq)
     assert np.array_equal(pg, ep)
-    assert np.allclose(dg, ed, rtol=0, atol=0)
+    # ids/ranks are exact; raw distances may differ at the last ulp
+    # (tree path uses direct differences, oracle uses the GEMM form)
+    assert np.allclose(dg, ed, rtol=1e-9, atol=1e-12)
 
 
 def test_knn_with_radius_hint_exact():

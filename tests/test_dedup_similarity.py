@@ -1,0 +1,111 @@
+"""Dedup/similarity operators: LSH recall vs exact ground truth,
+persisted-index roundtrip, IVF recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from covertree_spark.operators import dedup, similarity
+from covertree_spark.operators.index import build_trees, tree_from_row
+from covertree_spark.sources import tables as src
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return src.load_table(spark, SF_SMALL, "documents").persist()
+
+
+def test_minhash_lsh_recall(spark, docs):
+    """MinHash-LSH candidates must recover every true >=80% Jaccard
+    pair (16 bands x 4 rows: P[miss at j=0.8] ~ (1-0.8^4)^16 ~ 1e-4 per
+    pair) and the verification stage must equal the exact plan."""
+    exact = {
+        (r["a"], r["b"])
+        for r in dedup.ngram_jaccard_pairs(docs, 3, 80).collect()
+    }
+    got = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_dedup_pairs(docs, 3, 64, 16, 80).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs"
+    # verification filters candidates exactly, so got ⊆ exact always;
+    # recall should be total at this jaccard level
+    assert got <= exact
+    recall = len(got & exact) / len(exact)
+    assert recall == 1.0, f"LSH recall {recall}"
+
+
+def test_simhash_hamming_zero_for_exact_dups(spark):
+    pdf = [(0, "alpha beta gamma delta epsilon zeta"),
+           (1, "alpha beta gamma delta epsilon zeta"),
+           (2, "totally different words entirely here now")]
+    docs = spark.createDataFrame(pdf, "doc_id bigint, text string")
+    pairs = dedup.simhash_neardup_pairs(docs, max_hamming=3).collect()
+    got = {(r["a"], r["b"]): r["ham"] for r in pairs}
+    assert got.get((0, 1)) == 0
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_fingerprints_shared_for_shifted_dup(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [(0, base), (1, "prefix " + base), (2, "zz yy xx ww vv uu tt ss rr qq pp oo")],
+        "doc_id bigint, text string",
+    )
+    fps = dedup.doc_fingerprints(docs, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    overlap01 = len(by_doc[0] & by_doc[1]) / len(by_doc[0])
+    overlap02 = len(by_doc[0] & by_doc[2]) / len(by_doc[0])
+    assert overlap01 > 0.6  # winnowing robust to prefix shift
+    assert overlap02 == 0.0
+
+
+def test_ivf_recall_vs_brute(spark):
+    embs = src.load_table(spark, SF_SMALL, "embeddings")
+    exact = {
+        (r["src"], r["dst"])
+        for r in similarity.cosine_topk_brute(embs, 5).collect()
+    }
+    approx = {
+        (r["src"], r["dst"])
+        for r in similarity.ivf_topk(embs, 5, nlist=16, nprobe=12).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # random d=64 embeddings have no cluster structure — the hardest
+    # case for IVF; 12/16 probes must still recover most of top-5
+    assert recall > 0.85, f"IVF recall {recall}"
+
+
+def test_cosine_knn_exact_matches_brute(spark):
+    embs = src.load_table(spark, SF_SMALL, "embeddings")
+    exact = sorted(
+        (r["src"], r["rank"], r["dst"])
+        for r in similarity.cosine_topk_brute(embs, 5).collect()
+    )
+    tree_based = sorted(
+        (r["src"], r["rank"], r["dst"])
+        for r in similarity.cosine_knn_exact(embs, 5).collect()
+    )
+    assert tree_based == exact
+
+
+def test_index_roundtrip_query_parity(spark, tmp_path):
+    """Persisted per-cell trees answer queries identically to the
+    transient path (resumable index)."""
+    from covertree_spark.core import covertree as ct
+    from covertree_spark.operators.partition import assign_cells
+
+    pts = assign_cells(src.doc_points_lonlat(spark, SF_SMALL), res=2)
+    pts3 = src.doc_points_xyz(spark, SF_SMALL).join(pts.select("id", "cell"), "id")
+    path = str(tmp_path / "trees")
+    build_trees(pts3, d=3).write.parquet(path)
+    rows = spark.read.parquet(path).collect()
+    assert sum(int(r["n"]) for r in rows) == pts3.count()
+    # query each cell's tree against its own points: every point finds itself
+    for r in rows[:8]:
+        tree, P, ids = tree_from_row(r)
+        qi, pi, di = ct.radius_query(tree, P, P, 1e-12)
+        assert np.all(np.bincount(qi, minlength=len(P)) >= 1)
