@@ -421,6 +421,221 @@ def knn_query(
     return topk_per_query(qg, pg, dg, kk, tiebreak_ids=point_ids)
 
 
+def brute_topk(
+    Q: np.ndarray,
+    P: np.ndarray,
+    k: int,
+    max_radius=None,
+    exclude_self_ids: np.ndarray | None = None,
+    point_ids: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Chunked exact top-k against a block: one cache-sized GEMM per
+    chunk + per-row argpartition — never materializes a dense hit set
+    (a radius-style mask with a loose bound explodes to |Q|x|P| rows on
+    clustered data). Returns (query_idx, point_local_idx, dist) with at
+    most k rows per query, filtered to ``max_radius`` when given."""
+    Q = np.asarray(Q, dtype=np.float64)
+    P = np.asarray(P, dtype=np.float64)
+    nq, n = Q.shape[0], P.shape[0]
+    if nq == 0 or n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=np.float64)
+    kk = min(k + (1 if exclude_self_ids is not None else 0), n)
+    r = None if max_radius is None else np.broadcast_to(
+        np.asarray(max_radius, dtype=np.float64), (nq,))
+    chunk = max(16, (1 << 21) // (8 * n))
+    out_q: list[np.ndarray] = []
+    out_p: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    tie = point_ids if point_ids is not None else np.arange(n)
+    for s in range(0, nq, chunk):
+        e = min(s + chunk, nq)
+        d2 = pairwise_sq_dists(Q[s:e], P)
+        m = e - s
+        if kk < n:
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.broadcast_to(np.arange(n), (m, n)).copy()
+        rows = np.repeat(np.arange(m), part.shape[1])
+        cols = part.ravel()
+        d = np.sqrt(d2[rows, cols])
+        qg = rows + s
+        keep = np.ones(len(qg), dtype=bool)
+        if exclude_self_ids is not None and point_ids is not None:
+            keep &= point_ids[cols] != exclude_self_ids[qg]
+        if r is not None:
+            keep &= d <= r[qg]
+        qg, cols, d = qg[keep], cols[keep], d[keep]
+        qs, ps, ds = topk_per_query(qg, cols, d, k, tiebreak_ids=tie)
+        out_q.append(qs)
+        out_p.append(ps)
+        out_d.append(ds)
+    return np.concatenate(out_q), np.concatenate(out_p), np.concatenate(out_d)
+
+
+def knn_descend(
+    tree: CoverTree,
+    points: np.ndarray,
+    queries: np.ndarray,
+    k: int,
+    init_bound=None,
+    exclude_self_ids: np.ndarray | None = None,
+    point_ids: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched best-bound kNN descent: level-synchronous BFS where each
+    query carries its current kth-best distance; a child subtree is
+    pruned when ``d(q, center) - radii[child] > bound_q``. The bound
+    shrinks as leaves are found, so on clustered data the visit count
+    per query is ~O(k + depth), unlike a radius query at a loose upper
+    bound (which touches the whole cluster). ``init_bound`` (e.g. the
+    two-phase plan's broadcast rq) only tightens the start.
+    Returns (query_idx, point_local_idx, dist), <= k rows per query."""
+    P = np.asarray(points, dtype=np.float64)
+    Q = np.asarray(queries, dtype=np.float64)
+    nq, n = Q.shape[0], P.shape[0]
+    if nq == 0 or n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=np.float64)
+
+    # chunk queries: the frontier holds (query, vertex) pairs; with all
+    # queries at once an unprunable level materializes |Q| x breadth
+    # gathers (memory blow-up). 256 queries keeps every per-level array
+    # cache-scale while the tree block itself stays hot.
+    _CHUNK_Q = 256
+    if nq > _CHUNK_Q:
+        oq: list[np.ndarray] = []
+        op: list[np.ndarray] = []
+        od: list[np.ndarray] = []
+        for s0 in range(0, nq, _CHUNK_Q):
+            e0 = min(s0 + _CHUNK_Q, nq)
+            ib = None if init_bound is None else np.broadcast_to(
+                np.asarray(init_bound, dtype=np.float64), (nq,))[s0:e0]
+            ex = None if exclude_self_ids is None else exclude_self_ids[s0:e0]
+            cq, cp, cd = knn_descend(
+                tree, P, Q[s0:e0], k, init_bound=ib,
+                exclude_self_ids=ex, point_ids=point_ids,
+            )
+            oq.append(cq + s0)
+            op.append(cp)
+            od.append(cd)
+        return np.concatenate(oq), np.concatenate(op), np.concatenate(od)
+
+    kk = min(k, n)
+    tie = point_ids if point_ids is not None else np.arange(n)
+
+    bound = (
+        np.full(nq, np.inf)
+        if init_bound is None
+        else np.broadcast_to(np.asarray(init_bound, dtype=np.float64), (nq,)).astype(
+            np.float64
+        ).copy()
+    )
+    # Seed bounds from a deterministic point sample BEFORE descending:
+    # in a level-synchronous BFS the bound otherwise only tightens when
+    # leaves are reached, after the frontier has already exploded. The
+    # (k+1)-th smallest sample distance is a valid upper bound on the
+    # true non-self kth distance whether or not the query itself is in
+    # the sample.
+    s = min(n, max(64, 4 * kk))
+    if n > 2 * kk:
+        stride = max(1, n // s)
+        samp = np.arange(0, n, stride)[:s]
+        d2s = pairwise_sq_dists(Q, P[samp])
+        kk2 = min(kk, d2s.shape[1] - 1)
+        seed_b = np.sqrt(np.partition(d2s, kk2, axis=1)[:, kk2])
+        np.minimum(bound, seed_b * (1.0 + 1e-9), out=bound)
+    # per-query result buffers, kept sorted by (dist, tie)
+    buf_d = np.full((nq, kk), np.inf)
+    buf_i = np.full((nq, kk), np.iinfo(np.int64).max, dtype=np.int64)
+    filled = np.zeros(nq, dtype=np.int64)
+
+    ptrs, carr = tree.childptrs, tree.childarr
+    centers, radii = tree.centers, tree.radii
+
+    fq = np.arange(nq, dtype=np.int64)
+    fv = np.zeros(nq, dtype=np.int64)
+    eps = 1e-9  # same superset slack as the plan-level bounds
+
+    while fq.size:
+        nchild = ptrs[fv + 1] - ptrs[fv]
+        leaf = nchild == 0
+        if leaf.any():
+            lq, lv = fq[leaf], fv[leaf]
+            d = row_dists(Q[lq], P[centers[lv]])
+            ok = d <= bound[lq] * (1.0 + eps)
+            if exclude_self_ids is not None and point_ids is not None:
+                ok &= point_ids[centers[lv]] != exclude_self_ids[lq]
+            if ok.any():
+                hq, hp, hd = lq[ok], centers[lv[ok]], d[ok]
+                # per-query merge of new hits into the sorted buffers
+                uq = np.unique(hq)
+                hq2, hp2, hd2 = topk_per_query(hq, hp, hd, kk, tiebreak_ids=tie)
+                # vectorized merge: concatenate old buffer rows with new
+                # hits (<= kk per query by topk_per_query), lexsort,
+                # take kk per query
+                remap = np.searchsorted(uq, hq2)
+                m = len(uq)
+                cat_d = np.concatenate(
+                    [buf_d[uq].ravel(), np.full(m * kk, np.inf)]
+                )
+                cat_i = np.concatenate(
+                    [buf_i[uq].ravel(), np.full(m * kk, np.iinfo(np.int64).max)]
+                )
+                cat_q = np.concatenate(
+                    [np.repeat(np.arange(m), kk), np.repeat(np.arange(m), kk)]
+                )
+                # within-group slot for each new hit (stable order)
+                order2 = np.argsort(remap, kind="stable")
+                sorted_remap = remap[order2]
+                if len(sorted_remap):
+                    first = np.r_[0, np.flatnonzero(np.diff(sorted_remap)) + 1]
+                    starts2 = np.repeat(
+                        first, np.diff(np.r_[first, len(sorted_remap)])
+                    )
+                    within = np.arange(len(sorted_remap)) - starts2
+                    idxs = np.empty(len(remap), dtype=np.int64)
+                    idxs[order2] = m * kk + sorted_remap * kk + within
+                    cat_d[idxs] = hd2
+                    cat_i[idxs] = hp2
+                # sort rows by (q, d, tie(local)) and take kk per q
+                tiev = np.where(
+                    cat_i == np.iinfo(np.int64).max,
+                    np.iinfo(np.int64).max,
+                    np.take(tie, np.minimum(cat_i, len(tie) - 1)),
+                )
+                order = np.lexsort((tiev, cat_d, cat_q))
+                sd, si, sq = cat_d[order], cat_i[order], cat_q[order]
+                sel = (np.arange(len(sq)) - sq * (2 * kk)) < kk
+                buf_d[uq] = sd[sel].reshape(m, kk)
+                buf_i[uq] = si[sel].reshape(m, kk)
+                newly = np.minimum(filled[uq] + np.bincount(remap, minlength=m), kk)
+                filled[uq] = newly
+                full = filled[uq] >= kk
+                if full.any():
+                    bound[uq[full]] = np.minimum(
+                        bound[uq[full]], buf_d[uq[full], kk - 1]
+                    )
+        inner = ~leaf
+        if not inner.any():
+            break
+        iq, iv = fq[inner], fv[inner]
+        cnt = (ptrs[iv + 1] - ptrs[iv]).astype(np.int64)
+        rep_q = np.repeat(iq, cnt)
+        starts = ptrs[iv]
+        idx = np.repeat(starts + cnt - cnt.cumsum(), cnt) + np.arange(int(cnt.sum()))
+        children = carr[idx]
+        d = row_dists(Q[rep_q], P[centers[children]])
+        keep = d - radii[children] <= bound[rep_q] * (1.0 + eps)
+        # order frontier by distance so nearer subtrees update bounds
+        # before farther ones get expanded at the NEXT level
+        fq = rep_q[keep]
+        fv = children[keep]
+
+    valid = buf_d < np.inf
+    qi, slot = np.nonzero(valid)
+    return qi, buf_i[valid], buf_d[valid]
+
+
 def topk_per_query(
     qidx: np.ndarray,
     pidx: np.ndarray,

@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video decode libraries are NOT in this environment, so the
+decode kernels are stubs behind ``deterministic_fake`` (default in
+tests) / ``NotImplementedError`` (real mode). Everything Spark-side is
+real and tested: schemas, Arrow batch shapes, partitioning, UDF
+signatures — swap the kernel body for Pillow/ffmpeg on a real cluster
+and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+IMAGE_META_SCHEMA = (
+    "id bigint, width int, height int, channels int, format string, "
+    "size_bytes bigint, content_sha256 string"
+)
+
+FEATURE_SCHEMA = "id bigint, feat array<float>"
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic fake decode: dimensions derived from a content
+    hash. Stands in for a real image decoder (not in this env)."""
+    h = hashlib.sha256(payload).digest()
+    w = 64 + h[0] % 192
+    ht = 64 + h[1] % 192
+    return w, ht, 3, "fake"
+
+
+def image_metadata(
+    df: DataFrame, binary_col: str = "html", id_col: str = "id",
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """binary payload -> typed metadata row (decode headers only —
+    the cheap pass a real pipeline runs before any pixel work)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(payload)
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "real image decoding requires Pillow/libvips — "
+                        "not available in this environment"
+                    )
+                w, h, c, fmt = _fake_decode(b)
+                rows.append(
+                    (i, w, h, c, fmt, len(b), hashlib.sha256(b).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "channels", "format",
+                    "size_bytes", "content_sha256",
+                ],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=IMAGE_META_SCHEMA)
+
+
+def image_features(
+    df: DataFrame, binary_col: str = "html", id_col: str = "id",
+    d: int = 16, deterministic_fake: bool = True,
+) -> DataFrame:
+    """binary payload -> feature vector (the embed step). Fake kernel:
+    seeded byte-histogram projection — deterministic, unit-norm
+    float32, same shape contract as a real CNN/CLIP embedding."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rng_proj = np.random.default_rng(42).normal(size=(256, d))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, feats = [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(payload)
+                if not deterministic_fake:
+                    raise NotImplementedError("real decoder unavailable")
+                hist = np.bincount(
+                    np.frombuffer(b, dtype=np.uint8), minlength=256
+                ).astype(np.float64)
+                v = hist @ rng_proj
+                n = np.linalg.norm(v)
+                feats.append((v / n if n > 0 else v).astype(np.float32))
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "feat": feats})
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, binary_col: str = "html", id_col: str = "id",
+    every_n: int = 10, deterministic_fake: bool = True,
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    index (explode shape). Fake kernel: frame count from content hash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, frames = [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(payload)
+                if not deterministic_fake:
+                    raise NotImplementedError("real decoder unavailable")
+                n_frames = 30 + hashlib.sha256(b).digest()[2] % 270
+                sel = list(range(0, n_frames, every_n))
+                ids.extend([i] * len(sel))
+                frames.extend(sel)
+            yield pd.DataFrame({"id": ids, "frame_idx": frames})
+
+    return df.select(id_col, binary_col).mapInPandas(
+        run, schema="id bigint, frame_idx int"
+    )

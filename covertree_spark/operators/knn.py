@@ -35,8 +35,8 @@ from ..plans.grouped import grouped_apply
 from ..sources.tables import vec_matrix
 from .partition import CellStats, cell_stats
 
-CAND_SCHEMA = "cell bigint, qid bigint, vec array<double>, rq double"
-PART_SCHEMA = "qid bigint, nid bigint, dist double"
+CAND_SCHEMA = "cell bigint, qid bigint, vec array<double>, rq double, ncand int"
+PART_SCHEMA = "qid bigint, nid bigint, dist double, lrank int, ncand int"
 
 
 def knn_self_join(
@@ -57,6 +57,8 @@ def knn_self_join(
     spark = points.sparkSession
     points = points.persist()  # scanned by stats (2x), homes, (queries)
     stats = cell_stats(points, d, cell_col, fine_col)
+    if len(stats.cell_ids) > 128:
+        stats = stats.with_hierarchy(n_coarse=64)
     stats_bc = spark.sparkContext.broadcast(stats)
     nparts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
                         len(stats.partition_cells)))
@@ -82,49 +84,72 @@ def knn_self_join(
             Q = vec_matrix(pdf)
             from ..core.covertree import pairwise_sq_dists
 
-            # ONE GEMM over (queries x entries); everything exact is
-            # computed only on the tiny per-query selection. The big
-            # matrix is touched O(1) more times (argpartition + final
-            # compare) — this code path is memory-bandwidth-critical.
-            d2 = pairwise_sq_dists(Q, st.centroids)
             circ = st.circumradii
-            E = d2.shape[1]
             total = int(order_counts.sum())
             goal = min(need, total)
-            # Select a covering set per query: entries in d2 order
-            # until counts reach `goal`. (Any covering set yields a
-            # VALID upper bound ub = max over it of dc+circ; d2 order
-            # is a cheap proxy for lb order.)
-            m = min(E, max(8, 4 * max(1, need // max(1, int(order_counts.min())))))
-            while True:
-                part = (
-                    np.argpartition(d2, m - 1, axis=1)[:, :m] if m < E
-                    else np.broadcast_to(np.arange(E), d2.shape).copy()
-                )
-                d2_part = np.take_along_axis(d2, part, axis=1)
-                ord2 = np.argsort(d2_part, axis=1, kind="stable")
-                sorted_idx = np.take_along_axis(part, ord2, axis=1)
-                cum = np.cumsum(order_counts[sorted_idx], axis=1)
-                reach = cum >= goal
-                if bool(reach.any(axis=1).all()) or m >= E:
-                    break
-                m = min(E, m * 4)
-            cut = reach.argmax(axis=1)  # first True per row
-            cut = np.where(reach.any(axis=1), cut, m - 1)
-            prefix_mask = np.arange(m)[None, :] <= cut[:, None]
-            dc_sel = np.sqrt(np.take_along_axis(d2_part, ord2, axis=1))
-            ub_sel = dc_sel + circ[sorted_idx]
-            ub_k = np.where(prefix_mask, ub_sel, -np.inf).max(axis=1)
-            # SAFETY MARGIN: bounds carry ~1e-15 relative float noise; a
-            # true kth neighbor can sit exactly AT the bound. Inflate by
-            # 1e-9 relative — candidates become a strict superset, and
-            # the final merge ranks on exact distances, so the result
-            # is unchanged except that boundary misses become impossible.
-            ub_k = ub_k * (1.0 + 1e-9)
-            # candidate entries: lb <= ub_k  <=>  d2 <= (ub_k + circ)^2
-            thr = ub_k[:, None] + circ[None, :]
-            cand = d2 <= thr * thr
+
+            def covering_ub(d2, counts, circs):
+                """Upper bound on the kth distance from a covering set:
+                entries in d2 order until their counts reach `goal`;
+                ub = max over that prefix of dist-to-centroid + circ.
+                (Any covering set yields a VALID bound; d2 order is a
+                cheap proxy for lower-bound order.)"""
+                E2 = d2.shape[1]
+                m = min(E2, max(8, 4 * max(1, need // max(1, int(counts.min())))))
+                while True:
+                    part = (
+                        np.argpartition(d2, m - 1, axis=1)[:, :m] if m < E2
+                        else np.broadcast_to(np.arange(E2), d2.shape).copy()
+                    )
+                    d2_part = np.take_along_axis(d2, part, axis=1)
+                    ord2 = np.argsort(d2_part, axis=1, kind="stable")
+                    sorted_idx = np.take_along_axis(part, ord2, axis=1)
+                    cum = np.cumsum(counts[sorted_idx], axis=1)
+                    reach = cum >= goal
+                    if bool(reach.any(axis=1).all()) or m >= E2:
+                        break
+                    m = min(E2, m * 4)
+                cut = reach.argmax(axis=1)
+                cut = np.where(reach.any(axis=1), cut, m - 1)
+                prefix_mask = np.arange(m)[None, :] <= cut[:, None]
+                dc_sel = np.sqrt(np.take_along_axis(d2_part, ord2, axis=1))
+                ub_sel = dc_sel + circs[sorted_idx]
+                return np.where(prefix_mask, ub_sel, -np.inf).max(axis=1)
+
+            # SAFETY MARGIN everywhere bounds gate candidates: ~1e-15
+            # float noise can put a true kth neighbor exactly AT the
+            # bound; 1e-9 relative slack makes candidate sets strict
+            # supersets (final ranking uses exact distances).
+            if st.coarse_of is None:
+                d2 = pairwise_sq_dists(Q, st.centroids)
+                ub_k = covering_ub(d2, order_counts, circ) * (1.0 + 1e-9)
+                thr = ub_k[:, None] + circ[None, :]
+                cand = d2 <= thr * thr
+                ent_of_col = np.arange(len(st.cell_ids))
+            else:
+                # hierarchical cover prune: coarse bound first, then
+                # fine entries of surviving coarse groups only —
+                # O(nq x G) + O(nq x |surviving fine|)
+                d2c = pairwise_sq_dists(Q, st.coarse_centroids)
+                ub0 = covering_ub(
+                    d2c, st.coarse_counts, st.coarse_circumradii
+                ) * (1.0 + 1e-9)
+                thrc = ub0[:, None] + st.coarse_circumradii[None, :]
+                surv = d2c <= thrc * thrc
+                union = np.flatnonzero(surv.any(axis=0))
+                fidx = np.concatenate([st.coarse_members[g] for g in union])
+                d2f = pairwise_sq_dists(Q, st.centroids[fidx])
+                valid = surv[:, st.coarse_of[fidx]]
+                d2m = np.where(valid, d2f, np.inf)
+                ubf = covering_ub(d2m, order_counts[fidx], circ[fidx])
+                # both bounds are valid; an inf prefix entry (under-
+                # covered mask) degrades gracefully to ub0
+                ub_k = np.minimum(ubf, ub0) * (1.0 + 1e-9)
+                thr = ub_k[:, None] + circ[fidx][None, :]
+                cand = valid & (d2f <= thr * thr)
+                ent_of_col = fidx
             qi, ej = np.nonzero(cand)
+            ej = ent_of_col[ej]
             # dedupe (query, partition-cell): several fine stats entries
             # can map to one coarse cell
             coarse = st.cell_ids
@@ -133,66 +158,98 @@ def knn_self_join(
             uk = np.unique(key)
             qi2 = uk // stride
             tgt = uk % stride
+            # candidate-cell count per query row: queries in exactly one
+            # cell skip the global merge entirely (their local top-k is
+            # already final)
+            ncand = np.bincount(qi2, minlength=len(pdf))[qi2].astype(np.int32)
             yield pd.DataFrame(
                 {
                     "cell": tgt,
                     "qid": pdf["id"].to_numpy()[qi2],
                     "vec": pdf["vec"].to_numpy()[qi2],
                     "rq": ub_k[qi2],
+                    "ncand": ncand,
                 }
             )
 
-    candidates = qdf.select("id", "vec").mapInPandas(phase1, schema=CAND_SCHEMA)
+    # persist candidates: the range partitioner's sampling pass would
+    # otherwise recompute phase 1 a second time
+    candidates = (
+        qdf.select("id", "vec").mapInPandas(phase1, schema=CAND_SCHEMA).persist()
+    )
 
     home = points.select(F.col(cell_col).alias("cell"), "id", "vec")
-    # tag: home rows carry qid=-1 marker via union-by-shape
     tagged_home = home.select(
         "cell", F.col("id").alias("qid"), "vec", F.lit(float("nan")).alias("rq"),
-        F.lit(False).alias("is_query"),
+        F.lit(0).cast("int").alias("ncand"), F.lit(False).alias("is_query"),
     )
-    tagged_q = candidates.select("cell", "qid", "vec", "rq", F.lit(True).alias("is_query"))
+    tagged_q = candidates.select(
+        "cell", "qid", "vec", "rq", "ncand", F.lit(True).alias("is_query")
+    )
     assigned = tagged_home.unionByName(tagged_q)
 
     def per_cell(_cell, pdf: pd.DataFrame) -> pd.DataFrame:
         homes = pdf[~pdf["is_query"]]
         qs = pdf[pdf["is_query"]]
         if homes.empty or qs.empty:
-            return pd.DataFrame({"qid": [], "nid": [], "dist": []}).astype(
-                {"qid": "int64", "nid": "int64", "dist": "float64"}
+            return pd.DataFrame(
+                {"qid": [], "nid": [], "dist": [], "lrank": [], "ncand": []}
+            ).astype(
+                {"qid": "int64", "nid": "int64", "dist": "float64",
+                 "lrank": "int32", "ncand": "int32"}
             )
         H = vec_matrix(homes)
         hid = homes["qid"].to_numpy()  # home rows carry their point id in qid
         Q = vec_matrix(qs)
         qids = qs["qid"].to_numpy()
         rq = qs["rq"].to_numpy()
+        excl = qids if self_join else None
         if len(H) <= brute_cutoff:
-            d2 = ct.pairwise_sq_dists(Q, H)
-            qi, pi = np.nonzero(d2 <= (rq * rq)[:, None])
-            di = np.sqrt(d2[qi, pi])
+            # chunked GEMM top-k: never materializes the dense radius
+            # hit set (which explodes on clustered data at a loose rq)
+            qi, pi, di = ct.brute_topk(
+                Q, H, k, max_radius=rq, exclude_self_ids=excl, point_ids=hid
+            )
         else:
             tree = ct.build(H, cover=cover, leaf_size=leaf_size)
-            qi, pi, di = ct.radius_query(tree, H, Q, rq)
-        src = qids[qi]
-        dst = hid[pi]
-        if self_join:
-            keep = src != dst
-            src, dst, di = src[keep], dst[keep], di[keep]
-            qi = qi[keep]
-        # local top-k per query (reduces shuffle width)
-        qloc, ploc, dloc = ct.topk_per_query(qi, np.arange(len(dst)), di, k,
-                                             tiebreak_ids=dst)
-        return pd.DataFrame({"qid": src[ploc], "nid": dst[ploc], "dist": di[ploc]})
+            # best-bound descent: rq only seeds the bound; it shrinks
+            # per query as neighbors are found
+            qi, pi, di = ct.knn_descend(
+                tree, H, Q, k, init_bound=rq, exclude_self_ids=excl,
+                point_ids=hid,
+            )
+        # both kernels return rows grouped by query, sorted by
+        # (dist, id) within each query -> local rank by position
+        if len(qi):
+            firsts = np.r_[0, np.flatnonzero(qi[1:] != qi[:-1]) + 1]
+            starts = np.repeat(firsts, np.diff(np.r_[firsts, len(qi)]))
+            lrank = (np.arange(len(qi)) - starts + 1).astype(np.int32)
+        else:
+            lrank = np.empty(0, dtype=np.int32)
+        nc = qs["ncand"].to_numpy()[qi].astype(np.int32)
+        return pd.DataFrame(
+            {"qid": qids[qi], "nid": hid[pi], "dist": di, "lrank": lrank,
+             "ncand": nc}
+        )
 
     parts = grouped_apply(assigned, "cell", per_cell, PART_SCHEMA, strategy=strategy,
                           num_partitions=nparts)
+    # single-candidate-cell queries: the per-cell local rank IS the
+    # global rank (no other cell can contribute); only multi-cell
+    # queries pay the global merge shuffle
+    single = parts.filter(F.col("ncand") <= 1).select(
+        "qid", "nid", "dist", F.col("lrank").alias("rank")
+    )
+    multi = parts.filter(F.col("ncand") > 1)
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid").asc())
-    return (
-        parts.withColumn("rank", F.row_number().over(w))
+    merged = (
+        multi.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("src"),
-            F.col("nid").alias("dst"),
-            F.col("rank"),
-            F.col("dist"),
-        )
+        .select("qid", "nid", "dist", "rank")
+    )
+    return single.unionByName(merged).select(
+        F.col("qid").alias("src"),
+        F.col("nid").alias("dst"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("dist"),
     )

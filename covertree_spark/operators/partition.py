@@ -60,10 +60,70 @@ class CellStats:
     counts: np.ndarray  # (C,) int64
     centroids: np.ndarray  # (C, d) float64
     circumradii: np.ndarray  # (C,) float64
+    # optional coarse level (driver-derived; see with_hierarchy)
+    coarse_of: np.ndarray | None = None  # (C,) int group index per entry
+    coarse_centroids: np.ndarray | None = None  # (G, d)
+    coarse_circumradii: np.ndarray | None = None  # (G,)
+    coarse_counts: np.ndarray | None = None  # (G,)
+    coarse_members: list | None = None  # G lists of entry indices
 
     @property
     def partition_cells(self) -> np.ndarray:
         return np.unique(self.cell_ids)
+
+    def with_hierarchy(self, n_coarse: int = 64) -> "CellStats":
+        """Derive a coarse pruning level ON THE DRIVER from the fine
+        entries (no extra Spark pass): Gonzalez-group the entry
+        centroids into <= n_coarse groups; each group's centroid is the
+        count-weighted member mean and its circumradius is
+        ``max(d(group_centroid, member_centroid) + member_circ)`` — a
+        valid bound for every point of every member. Hierarchical
+        phase-1 pruning then costs O(nq x G) + O(nq x surviving fine)
+        instead of O(nq x C)."""
+        from ..core.covertree import dists_to
+
+        C = len(self.cell_ids)
+        G = min(n_coarse, C)
+        cents = self.centroids
+        # Gonzalez over entry centroids (deterministic: start at 0)
+        chosen = [0]
+        mind = dists_to(cents, cents[0])
+        for _ in range(G - 1):
+            far = int(mind.argmax())
+            chosen.append(far)
+            mind = np.minimum(mind, dists_to(cents, cents[far]))
+        seeds = cents[np.asarray(chosen)]
+        from ..core.covertree import pairwise_sq_dists
+
+        grp = pairwise_sq_dists(cents, seeds).argmin(axis=1).astype(np.int64)
+        w = self.counts.astype(np.float64)
+        gc = np.zeros((G, cents.shape[1]))
+        gw = np.zeros(G)
+        np.add.at(gw, grp, w)
+        for j in range(cents.shape[1]):
+            np.add.at(gc[:, j], grp, w * cents[:, j])
+        gc /= np.maximum(gw, 1.0)[:, None]
+        dcm = np.sqrt(
+            np.maximum(
+                np.einsum("ij,ij->i", cents - gc[grp], cents - gc[grp]), 0.0
+            )
+        )
+        gr = np.zeros(G)
+        np.maximum.at(gr, grp, dcm + self.circumradii)
+        gcount = np.zeros(G, dtype=np.int64)
+        np.add.at(gcount, grp, self.counts)
+        members = [np.flatnonzero(grp == g) for g in range(G)]
+        return CellStats(
+            cell_ids=self.cell_ids,
+            counts=self.counts,
+            centroids=self.centroids,
+            circumradii=self.circumradii,
+            coarse_of=grp,
+            coarse_centroids=gc,
+            coarse_circumradii=gr,
+            coarse_counts=gcount,
+            coarse_members=members,
+        )
 
     def lower_bounds(self, Q: np.ndarray) -> np.ndarray:
         """(nq, C) lower bound on d(q, any point of cell c)."""

@@ -170,16 +170,10 @@ def ivf_topk(
         hid = homes["qid"].to_numpy()
         Q = vec_matrix(qs)
         qids = qs["qid"].to_numpy()
-        d2 = ct.pairwise_sq_dists(Q, H)
-        d = np.sqrt(d2)
-        qi, pi = np.nonzero(np.ones_like(d2, dtype=bool))
-        src, dst, dd = qids[qi], hid[pi], d[qi, pi]
-        keep = src != dst
-        src, dst, dd = src[keep], dst[keep], dd[keep]
-        qloc, ploc, dloc = ct.topk_per_query(
-            src, np.arange(len(dst)), dd, k, tiebreak_ids=dst
+        qi, pi, di = ct.brute_topk(
+            Q, H, k, exclude_self_ids=qids, point_ids=hid
         )
-        return pd.DataFrame({"qid": qloc, "nid": dst[ploc], "dist": dd[ploc]})
+        return pd.DataFrame({"qid": qids[qi], "nid": hid[pi], "dist": di})
 
     parts = grouped_apply(
         assigned, "cell", per_cell, "qid bigint, nid bigint, dist double"

@@ -85,6 +85,56 @@ def pages_to_points(pages: DataFrame) -> DataFrame:
     )
 
 
+def blob_points(
+    spark: SparkSession,
+    n: int,
+    d: int = 32,
+    n_clusters: int = 256,
+    spread: float = 0.05,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic distributed Gaussian-ish blobs (the reference's
+    benchmark generator shape, /root/reference/ptgen.py:18-26 /
+    job_nersc_blobs.sh): cluster = id % n_clusters, offset = integer-
+    hash uniform noise — a pure function of (seed, id), so identical
+    at any parallelism. Returns (id, vec ARRAY<DOUBLE>, cell) with
+    cell = true cluster id (callers may re-partition via Voronoi)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-1.0, 1.0, size=(n_clusters, d))
+    parts = partitions or spark.sparkContext.defaultParallelism
+    # per-dimension decay -> LOW INTRINSIC DIMENSION (~6 effective):
+    # cover trees (like the reference's real datasets: corel, sift)
+    # rely on bounded doubling dimension; uniform full-d noise is the
+    # degenerate case where covering numbers explode
+    scales = spread * (0.7 ** np.arange(d))
+
+    def _splitmix64(x: np.ndarray) -> np.ndarray:
+        # full-avalanche mixer: a weak multiplicative hash here produces
+        # structured collisions (identical noise offsets for id pairs),
+        # i.e. EXACT distance ties that different BLAS evaluation orders
+        # tie-break differently — discovered via the oracle gate
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            c = (ids % n_clusters).astype(np.int64)
+            j = np.arange(d, dtype=np.uint64)
+            key = ids.astype(np.uint64)[:, None] * np.uint64(d) + j[None, :] + np.uint64(seed)
+            h = _splitmix64(key)
+            noise = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53) - 0.5
+            X = centers[c] + scales[None, :] * noise
+            yield pd.DataFrame({"id": ids, "vec": list(X), "cell": c})
+
+    return spark.range(0, n, 1, parts).mapInPandas(
+        gen, schema="id bigint, vec array<double>, cell bigint"
+    )
+
+
 def featurize_text(pages: DataFrame, d: int = 16, seed: int = 42) -> DataFrame:
     """pages -> (id, vec ARRAY<FLOAT>) seeded feature-hash of text
     (vectorized; float32 like the reference's Atom type)."""
