@@ -32,6 +32,7 @@ def build_trees(
     cover: float = ct.DEFAULT_COVER,
     leaf_size: int = ct.DEFAULT_LEAF_SIZE,
     cell_col: str = "cell",
+    strategy: str = "range",
 ) -> DataFrame:
     """One row per cell: CSR tree + flattened point block + global ids."""
 
@@ -56,6 +57,7 @@ def build_trees(
         "cell",
         per_cell,
         TREE_SCHEMA,
+        strategy=strategy,
     )
 
 

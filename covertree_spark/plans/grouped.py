@@ -44,44 +44,63 @@ def grouped_apply(
 
         return df.groupBy(key).applyInPandas(apply_fn, schema=schema)
 
+    if strategy == "aligned":
+        # caller guarantees the input is already partitioned by key with
+        # whole, contiguous groups per partition (e.g. a persisted
+        # repartitionByRange(...).sortWithinPartitions(...) result, or a
+        # table written cell-partitioned at ingest). Zero extra shuffle:
+        # at scale the ONE ingest shuffle amortizes across every
+        # downstream stage.
+        def stream_aligned(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            yield from _stream_groups(batches, key, func)
+
+        return df.mapInPandas(stream_aligned, schema=schema)
+
     if strategy != "range":
         raise ValueError(f"unknown strategy {strategy!r}")
 
     def stream_groups(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pending: list[pd.DataFrame] = []
-        pending_key = None
-
-        def flush():
-            if not pending:
-                return None
-            group = pd.concat(pending, ignore_index=True) if len(pending) > 1 else pending[0]
-            return func(pending_key, group)
-
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            keys = pdf[key].to_numpy()
-            # cut points where the (sorted-within-partition) key changes
-            start = 0
-            n = len(keys)
-            while start < n:
-                k = keys[start]
-                end = start
-                while end < n and keys[end] == k:
-                    end += 1
-                chunk = pdf.iloc[start:end]
-                if pending_key is not None and k != pending_key:
-                    out = flush()
-                    if out is not None and len(out):
-                        yield out
-                    pending = []
-                pending_key = k
-                pending.append(chunk)
-                start = end
-        out = flush()
-        if out is not None and len(out):
-            yield out
+        yield from _stream_groups(batches, key, func)
 
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     shuffled = df.repartitionByRange(int(parts), F.col(key)).sortWithinPartitions(key)
     return shuffled.mapInPandas(stream_groups, schema=schema)
+
+
+def _stream_groups(
+    batches: Iterator[pd.DataFrame], key: str, func
+) -> Iterator[pd.DataFrame]:
+    """Cut exact group boundaries from key-sorted Arrow batches; per-
+    group memory is bounded by the largest single cell."""
+    pending: list[pd.DataFrame] = []
+    pending_key = None
+
+    def flush():
+        if not pending:
+            return None
+        group = pd.concat(pending, ignore_index=True) if len(pending) > 1 else pending[0]
+        return func(pending_key, group)
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        keys = pdf[key].to_numpy()
+        start = 0
+        n = len(keys)
+        while start < n:
+            k = keys[start]
+            end = start
+            while end < n and keys[end] == k:
+                end += 1
+            chunk = pdf.iloc[start:end]
+            if pending_key is not None and k != pending_key:
+                out = flush()
+                if out is not None and len(out):
+                    yield out
+                pending = []
+            pending_key = k
+            pending.append(chunk)
+            start = end
+    out = flush()
+    if out is not None and len(out):
+        yield out
