@@ -19,20 +19,24 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from covertree_spark import queries as Q  # noqa: E402
-from covertree_spark.plans.session import get_spark  # noqa: E402
+from covertree_spark.plans import metrics as M  # noqa: E402
+from covertree_spark.plans.session import get_spark, release_intermediates  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
     "geo_knn",
+    "knn_over_index",
     "geo_ball_join",
     "emb_knn",
     "emb_ball_join",
     "cosine_topk",
+    "emb_neardup",
     "dedup_exact",
     "ngram_jaccard",
     "minhash_neardup",
+    "simhash_neardup",
     "tile_histogram",
     "pip_convex",
 ]
@@ -52,11 +56,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
+    dist_comps: dict[str, int] = {}
     for name in BENCH_QUERIES:
         fn, _sql = cat[name]
+        # fresh dist_comps accumulator per query (reference efficiency
+        # metric, include/point_vector.h:11 via rgraph.py:168-176);
+        # install BEFORE plan build so UDF closures capture it
+        acc = M.install(spark)
+        snap = M.driver_snapshot()
         t0 = time.time()
         counts[name] = fn(spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
+        dist_comps[name] = int(acc.value) + M.driver_delta(snap)
+        release_intermediates()  # drop operator-persisted intermediates
 
     # headline: exact geo kNN queries/sec (every doc row is a query)
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
@@ -70,6 +82,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "counts": counts,
+                "dist_comps": dist_comps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": CPUS,
             }

@@ -42,6 +42,14 @@ DEFAULT_LEAF_SIZE = 10  # reference rgraph.cpp:22
 
 _CHUNK = 8192  # rows per distance-matrix chunk (bounds peak memory)
 
+# Per-process distance-computation counter (reference: the global
+# ``dist_comps`` counter in include/point_vector.h:11, surfaced per run
+# at rgraph.py:131-176). Incremented by every distance kernel below;
+# plans/metrics.py snapshots the delta inside each UDF invocation and
+# adds it to a Spark accumulator so BENCH can report dist_comps per
+# query — the reference's efficiency metric.
+DIST_COMPS = 0
+
 
 def pairwise_sq_dists(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Squared L2 distances, shape (len(a), len(b)), float64.
@@ -53,8 +61,10 @@ def pairwise_sq_dists(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     query threshold/rank gap the engine relies on is >= 1e-6 in
     distance, verified by the oracle-equality suite, so the trick is
     safe here. Negative rounding residue is clipped to 0."""
+    global DIST_COMPS
     a = np.ascontiguousarray(a, dtype=np.float64)
     b = np.ascontiguousarray(b, dtype=np.float64)
+    DIST_COMPS += a.shape[0] * b.shape[0]
     aa = np.einsum("ij,ij->i", a, a)
     bb = np.einsum("ij,ij->i", b, b)
     out = a @ b.T
@@ -67,12 +77,16 @@ def pairwise_sq_dists(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def dists_to(points: np.ndarray, x: np.ndarray) -> np.ndarray:
     """L2 distance of every row of ``points`` to vector ``x`` (float64)."""
+    global DIST_COMPS
+    DIST_COMPS += len(points)
     d = np.asarray(points, dtype=np.float64) - np.asarray(x, dtype=np.float64)
     return np.sqrt(np.einsum("ij,ij->i", d, d))
 
 
 def row_dists(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Rowwise L2 distance between paired rows of ``a`` and ``b``."""
+    global DIST_COMPS
+    DIST_COMPS += len(a)
     d = np.asarray(a, dtype=np.float64) - np.asarray(b, dtype=np.float64)
     return np.sqrt(np.einsum("ij,ij->i", d, d))
 

@@ -24,27 +24,67 @@ _LAT_MULT = 2246822519
 _MOD = 4294967296  # 2^32
 
 
+def _hash32(vals: np.ndarray, mult: int) -> np.ndarray:
+    """(vals * mult) mod 2^32, overflow-safe for any id in [0, 2^63).
+
+    Reduce mod 2^32 first, then multiply in uint64: the product of two
+    32-bit values is < 2^64, exact in uint64 — no silent wrap at any
+    scale (the naive int64 form overflows at id >= 2^63 / mult
+    ~ 3.47e9, silently breaking the 10^12-row path)."""
+    v = (np.asarray(vals, dtype=np.int64) % _MOD).astype(np.uint64)
+    return ((v * np.uint64(mult)) % np.uint64(_MOD)).astype(np.int64)
+
+
 def lonlat_from_id(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic pseudo-uniform (lon, lat) from integer ids.
 
-    Exact-arithmetic recipe (identical in SQL):
-      h1 = (id * 2654435761) % 2^32 ; lon = h1*360.0/2^32 - 180.0
-      h2 = ((id+1) * 2246822519) % 2^32 ; lat = h2*180.0/2^32 - 90.0
-    Every step is exact in float64 (products < 2^53), so numpy and any
-    SQL engine produce bit-identical doubles.
-    """
+    Exact-arithmetic recipe (identical in SQL, see sql_lonlat_exprs):
+      h1 = ((id % 2^32) * 2654435761) % 2^32 ; lon = h1*360.0/2^32 - 180
+      h2 = (((id+1) % 2^32) * 2246822519) % 2^32 ; lat = h2*180.0/2^32 - 90
+    h < 2^32 is exact in float64, so numpy, Spark SQL and DuckDB all
+    produce bit-identical doubles, for ids up to 2^63
+    (tests/test_cells_geometry.py checks ids {2^31, 2^35, 2^40, 10^12}
+    across all three engines)."""
     ids = np.asarray(ids, dtype=np.int64)
-    h1 = (ids * _LON_MULT) % _MOD
-    h2 = ((ids + 1) * _LAT_MULT) % _MOD
+    h1 = _hash32(ids, _LON_MULT)
+    h2 = _hash32(ids + 1, _LAT_MULT)
     lon = (h1 * 360.0) / float(_MOD) - 180.0
     lat = (h2 * 180.0) / float(_MOD) - 90.0
     return lon, lat
 
 
+def _sql_hash32(expr: str, mult: int) -> str:
+    """ANSI-SQL rendering of _hash32 with every intermediate < 2^49,
+    so BIGINT arithmetic never overflows in any engine.
+
+    Split i32 = hi*2^16 + lo; then (i32*mult) mod 2^32 =
+    (((hi*(mult mod 2^16)) mod 2^16) * 2^16 + lo*mult) mod 2^32.
+    hi is recovered by an exact power-of-two double division (the
+    dividend is a multiple of 2^16 and <= 2^32, integral in float64;
+    floor+CAST is engine-agnostic — DuckDB CAST rounds, Spark
+    truncates, both identity on an exact integer)."""
+    ml = mult % 65536
+    i32 = f"(({expr}) % {_MOD})"
+    lo = f"({i32} % 65536)"
+    # division rendered in explicit DOUBLE: Spark parses a bare 65536.0
+    # literal as DECIMAL (DuckDB as DOUBLE), and decimal division
+    # rounds to a fixed scale — CAST pins both engines to IEEE double,
+    # where a power-of-two division of an integer <= 2^32 is exact
+    hi = f"CAST(floor(({i32} - {lo}) / CAST(65536 AS DOUBLE)) AS BIGINT)"
+    return f"(((({hi} * {ml}) % 65536) * 65536 + {lo} * {mult}) % {_MOD})"
+
+
 def sql_lonlat_exprs(id_col: str) -> tuple[str, str]:
-    """ANSI-SQL expressions computing the exact same lon/lat doubles."""
-    lon = f"((({id_col} * {_LON_MULT}) % {_MOD}) * 360.0) / {_MOD}.0 - 180.0"
-    lat = f"(((({id_col} + 1) * {_LAT_MULT}) % {_MOD}) * 180.0) / {_MOD}.0 - 90.0"
+    """ANSI-SQL expressions computing the exact same lon/lat doubles.
+    All float constants are CAST(... AS DOUBLE): Spark would otherwise
+    evaluate the chain in DECIMAL (bare float literals are decimals
+    there), silently diverging from DuckDB/numpy doubles."""
+    h1 = _sql_hash32(id_col, _LON_MULT)
+    h2 = _sql_hash32(f"({id_col} + 1)", _LAT_MULT)
+    lon = (f"({h1} * CAST(360 AS DOUBLE)) / CAST({_MOD} AS DOUBLE)"
+           f" - CAST(180 AS DOUBLE)")
+    lat = (f"({h2} * CAST(180 AS DOUBLE)) / CAST({_MOD} AS DOUBLE)"
+           f" - CAST(90 AS DOUBLE)")
     return lon, lat
 
 

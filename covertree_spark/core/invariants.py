@@ -73,22 +73,6 @@ def nesting(tree: CoverTree) -> None:
         )
 
 
-def leaf_rule(tree: CoverTree, leaf_size: int) -> None:
-    """Leaf-hub fanout vertices (all children are radius-0 leaves AND
-    at least one child center is a non-site duplicate region, i.e. the
-    fanout *can* exceed what site-splitting would produce) respect
-    ``size <= leaf_size or radius <= eps``.
-
-    Note: a vertex whose child hubs all became singleton leaf hubs is
-    structurally identical to a leaf-hub fanout but is NOT bound by
-    leaf_size (the reference produces the same shape). So the
-    structural check here is necessarily weaker: it only asserts the
-    rule where fanout size exceeds what the separation guarantee could
-    ever produce — the behavioral rule itself is verified by
-    separation_and_covering(), which re-runs the hub recursion."""
-    del tree, leaf_size  # structural form intentionally vacuous; see docstring
-
-
 def separation_and_covering(
     points: np.ndarray, cover: float, leaf_size: int
 ) -> None:
@@ -96,7 +80,16 @@ def separation_and_covering(
     Gonzalez loop's guarantees at every hub: (a) each added site was
     farther than the level target from all previously-added sites of
     that hub (separation); (b) on exit every hub point is within target
-    of its assigned site (covering)."""
+    of its assigned site (covering).
+
+    The LEAF RULE (``size <= leaf_size or radius <= eps`` stops
+    refinement) is verified behaviorally here too — the recursion
+    below applies the same stopping condition the builder does, so a
+    builder that refined past (or stopped before) the rule would
+    diverge from this traversal. A purely structural check on the
+    finished CSR is impossible: a vertex whose child hubs all became
+    singleton leaf hubs is shape-identical to a leaf-hub fanout (the
+    reference produces the same shape)."""
     from .covertree import _Hub  # reuse the builder's traversal shape
     from collections import deque
 
@@ -177,5 +170,4 @@ def check_all(tree: CoverTree, points: np.ndarray, cover: float, leaf_size: int)
     leaves_cover_points_exactly_once(tree, len(points))
     radii_bound_descendants(tree, points)
     nesting(tree)
-    leaf_rule(tree, leaf_size)
     separation_and_covering(points, cover, leaf_size)

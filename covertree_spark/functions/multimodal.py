@@ -81,19 +81,24 @@ def image_features(
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids, feats = [], []
-            for i, payload in zip(pdf[id_col], pdf[binary_col]):
-                b = bytes(payload)
-                if not deterministic_fake:
-                    raise NotImplementedError("real decoder unavailable")
-                hist = np.bincount(
-                    np.frombuffer(b, dtype=np.uint8), minlength=256
-                ).astype(np.float64)
-                v = hist @ rng_proj
-                n = np.linalg.norm(v)
-                feats.append((v / n if n > 0 else v).astype(np.float32))
-                ids.append(i)
-            yield pd.DataFrame({"id": ids, "feat": feats})
+            if not deterministic_fake:
+                raise NotImplementedError("real decoder unavailable")
+            # vectorized across the batch: one flat byte buffer, segment
+            # ids, a single 2-D bincount, one GEMM for the projection
+            payloads = [bytes(p) for p in pdf[binary_col]]
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                               count=len(payloads))
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            seg = np.repeat(np.arange(len(payloads)), lens)
+            hist = np.bincount(
+                seg * 256 + flat, minlength=len(payloads) * 256
+            ).reshape(len(payloads), 256).astype(np.float64)
+            V = hist @ rng_proj
+            nrm = np.linalg.norm(V, axis=1, keepdims=True)
+            V = np.divide(V, nrm, out=V, where=nrm > 0)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "feat": list(V.astype(np.float32))}
+            )
 
     return df.select(id_col, binary_col).mapInPandas(run, schema=FEATURE_SCHEMA)
 

@@ -103,59 +103,81 @@ def sql_lang_scores(table: str = "documents") -> str:
 
 # ---- deterministic token / shingle hashing (numpy, engine-neutral) ---------
 
-_HASH_MOD = (1 << 61) - 1  # Mersenne prime
 _HASH_BASE = 257
+_MH_PRIME31 = (1 << 31) - 1  # Mersenne prime: minhash-domain reduction
 
 
 def hash_tokens(tokens: np.ndarray) -> np.ndarray:
-    """Vectorized polynomial rolling hash of a string array -> uint64.
+    """Vectorized polynomial hash of a string array -> uint64.
 
-    h(s) = sum(byte_i * BASE^(n-1-i)) mod (2^61-1). Pure integer math,
-    identical on any platform; used for shingles, minhash and simhash
-    so results never depend on Spark/DuckDB hash internals."""
-    out = np.zeros(len(tokens), dtype=np.uint64)
-    mod = np.uint64(_HASH_MOD)
+    h(s) = Horner(codepoint_i, base=257) in uint64 arithmetic (wraps
+    mod 2^64 — deterministic, platform-independent; NOT a mod-p
+    family, see minhash for the honest universal reduction). Zero
+    per-row Python: the strings go through one fixed-width UCS4 numpy
+    view, and Horner runs column-wise (one vector op per character
+    position of the longest token)."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    arr = np.asarray(tokens, dtype=str)  # fixed-width UCS4, left-aligned
+    L = arr.dtype.itemsize // 4
+    if L == 0:
+        return np.zeros(n, dtype=np.uint64)
+    codes = np.ascontiguousarray(arr).view(np.uint32).reshape(n, L).astype(np.uint64)
+    h = np.zeros(n, dtype=np.uint64)
     base = np.uint64(_HASH_BASE)
-    # group by length for vectorization
-    lens = np.char.str_len(tokens.astype(str))
-    arr = tokens.astype(str)
-    for L in np.unique(lens):
-        idx = np.nonzero(lens == L)[0]
-        if L == 0:
-            continue
-        sub = arr[idx]
-        # bytes matrix (n, L) — via uint32 codepoints (ASCII data; for
-        # non-ASCII the codepoint itself feeds the hash, still stable)
-        codes = np.array([[ord(c) for c in s] for s in sub], dtype=np.uint64)
-        h = np.zeros(len(idx), dtype=np.uint64)
-        for j in range(int(L)):
-            h = (h * base + codes[:, j]) % mod
-        out[idx] = h
-    return out
+    for j in range(L):
+        c = codes[:, j]
+        live = c != 0  # trailing NUL = padding (tokens never contain NUL)
+        h[live] = h[live] * base + c[live]
+    return h
 
 
-def simhash64(token_hashes: list[np.ndarray]) -> np.ndarray:
-    """64-bit simhash per document from its token-hash array."""
-    out = np.zeros(len(token_hashes), dtype=np.uint64)
-    for i, hs in enumerate(token_hashes):
-        if len(hs) == 0:
-            continue
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in range(64):
-            if votes[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out[i] = sig
-    return out
+def shingle_hashes_flat(texts, n: int = 3):
+    """Vectorized word-n-gram shingle hashes for a BATCH of documents.
+
+    Returns (doc_offsets, shingle_hash) where ``shingle_hash`` is one
+    flat uint64 array and ``doc_offsets[i]:doc_offsets[i+1]`` slices
+    document i's shingles. Shingle hash = Horner combine of the n
+    token hashes (base 2^31-ish odd constant, wraps mod 2^64) — no
+    shingle STRINGS are ever built, so the whole batch is a handful
+    of vector ops over one flat token array.
+
+    Convention: documents with fewer than ``n`` tokens yield ZERO
+    shingles — identical to the JVM ``shingles_df`` path, so LSH and
+    exact-Jaccard agree on which docs participate (ADVICE round 1)."""
+    toks_per_doc = [t.strip().split() for t in texts]  # C-level split
+    lens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64,
+                       count=len(toks_per_doc))
+    if int(lens.sum()) == 0:
+        return np.zeros(len(texts) + 1, dtype=np.int64), np.empty(0, np.uint64)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks_per_doc if t])
+    th = hash_tokens(flat)
+    # sliding n-window combine over the flat token-hash array
+    T = len(th)
+    n_sh_per_doc = np.maximum(lens - (n - 1), 0)
+    if T >= n:
+        comb = th[: T - n + 1].copy()
+        mult = np.uint64(0x9E3779B1)  # odd -> bijective mixing in 2^64
+        for j in range(1, n):
+            comb = comb * mult + th[j : T - n + 1 + j]
+    else:
+        comb = np.empty(0, dtype=np.uint64)
+    # keep only windows fully inside one document
+    tok_starts = np.concatenate([[0], np.cumsum(lens)])
+    valid_idx = [
+        np.arange(tok_starts[i], tok_starts[i] + n_sh_per_doc[i])
+        for i in range(len(lens))
+        if n_sh_per_doc[i] > 0
+    ]
+    doc_offsets = np.concatenate([[0], np.cumsum(n_sh_per_doc)]).astype(np.int64)
+    if valid_idx:
+        sh = comb[np.concatenate(valid_idx)]
+    else:
+        sh = np.empty(0, dtype=np.uint64)
+    return doc_offsets, sh
 
 
-def rolling_fingerprints(token_hashes: np.ndarray, window: int = 4) -> np.ndarray:
-    """Winnowing-style document fingerprint: min shingle-hash per
-    sliding window of ``window`` token hashes, deduplicated."""
-    if len(token_hashes) < window:
-        return np.unique(token_hashes)
-    sw = np.lib.stride_tricks.sliding_window_view(token_hashes, window)
-    return np.unique(sw.min(axis=1))
+# (simhash voting and winnowing fingerprints live vectorized-per-batch
+# in operators/dedup.py — the per-document helpers that used to sit
+# here were the round-1 per-row-Python hot path.)

@@ -27,8 +27,9 @@ from pyspark.sql import DataFrame
 
 from ..core import covertree as ct
 from ..plans.grouped import grouped_apply
+from ..plans.session import mark_releasable
 from ..sources.tables import vec_matrix
-from .partition import cell_stats, replicate_ghosts
+from .partition import CellStats, cell_stats, replicate_ghosts
 
 EDGE_SCHEMA = "src bigint, dst bigint, dist double"
 
@@ -43,16 +44,22 @@ def ball_self_join(
     cell_col: str = "cell",
     fine_col: str | None = None,
     brute_cutoff: int = 1024,
+    stats: CellStats | None = None,
 ) -> DataFrame:
     """points must carry (id, vec, cell). Returns (src, dst, dist),
-    src != dst, both directions."""
+    src != dst, both directions.
+
+    Caching contract: with ``stats=None`` the input is persisted and
+    registered releasable (see knn_self_join docstring); passing
+    precomputed stats skips both."""
     spark = points.sparkSession
-    points = points.persist()  # scanned by stats (2x), ghosts, homes
-    stats = cell_stats(points, d, cell_col, fine_col)
+    if stats is None:
+        # scanned by stats (2x), ghosts, homes
+        points = mark_releasable(points.persist())
+        stats = cell_stats(points, d, cell_col, fine_col)
     stats_bc = spark.sparkContext.broadcast(stats)
     assigned = replicate_ghosts(points, stats_bc, radius, cell_col)
-    nparts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                        len(stats.partition_cells)))
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     def per_cell(_cell, pdf: pd.DataFrame) -> pd.DataFrame:
         home = pdf[~pdf["is_ghost"]]

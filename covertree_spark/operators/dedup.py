@@ -34,13 +34,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import hash_tokens, rolling_fingerprints, simhash64
+from ..functions.text import _MH_PRIME31, hash_tokens, shingle_hashes_flat
+from .ball_join import ball_self_join
 
 
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:
     """Duplicate-text groups: (keeper_id, dup_count) per distinct text.
-    keeper = min doc_id. One hash-aggregate; map-side partial."""
-    return docs.groupBy("text").agg(
+    keeper = min doc_id. One hash-aggregate with map-side partials;
+    the group key is the 256-bit content hash, so the shuffle carries
+    32 bytes per distinct text instead of the text itself (collision
+    probability ~ n^2 / 2^257 — zero at any realistic scale; the
+    pytest oracle groups by the raw text and must agree)."""
+    return docs.groupBy(F.sha2(F.col("text"), 256).alias("_h")).agg(
         F.min("doc_id").alias("keeper_id"),
         F.count("*").alias("dup_count"),
     ).select("keeper_id", "dup_count")
@@ -48,7 +53,11 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
 
 def exact_dedup_keep(docs: DataFrame) -> DataFrame:
     """The deduplicated id set (doc_id of one representative per text)."""
-    return docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
 
 
 def tokens_df(docs: DataFrame) -> DataFrame:
@@ -130,40 +139,60 @@ _MH_PRIME = (1 << 61) - 1
 
 
 def _mh_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Honest universal family: shingle hashes are first reduced mod
+    p31 = 2^31-1, then permuted with (a*h' + b) mod (2^61-1) where
+    a < 2^31 — every product is < 2^62, so uint64 arithmetic computes
+    the mod-p value EXACTLY (round-1 ADVICE: the old 61-bit inputs
+    silently wrapped mod 2^64 before the reduction)."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MH_PRIME, size=num_perm, dtype=np.uint64)
+    a = rng.integers(1, _MH_PRIME31, size=num_perm, dtype=np.uint64)
     b = rng.integers(0, _MH_PRIME, size=num_perm, dtype=np.uint64)
     return a, b
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3, num_perm: int = 64, seed: int = 42) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, num_perm: int = 64, seed: int = 42
+) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>) — minhash over word-n-gram shingle
-    hashes. Engine-neutral polynomial hashes; permutations are the
-    classic (a*h+b) mod p family, seeded."""
+    hashes. Fully vectorized per Arrow batch: one flat token-hash
+    array, sliding-window shingle combine, per-doc segment minima via
+    ``np.minimum.reduceat`` — no per-document Python loop.
+
+    Documents with fewer than ``n`` tokens yield no shingles and are
+    OMITTED (same convention as the JVM shingles_df path, so LSH and
+    exact verification agree on participation)."""
     a, b = _mh_params(num_perm, seed)
+    p61 = np.uint64(_MH_PRIME)
+    p31 = np.uint64(_MH_PRIME31)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            sigs = []
-            for text in pdf["text"]:
-                toks = np.asarray(text.strip().split(), dtype=object)
-                if len(toks) >= n:
-                    sh = np.asarray(
-                        [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)],
-                        dtype=object,
-                    )
-                else:
-                    sh = np.asarray([" ".join(toks)], dtype=object)
-                h = np.unique(hash_tokens(sh))
-                # (a*h+b) mod p per permutation, take min
-                vals = (a[None, :] * h[:, None] + b[None, :]) % np.uint64(_MH_PRIME)
-                sig = vals.min(axis=0).astype(np.int64)
-                sigs.append(sig)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+            offs, sh = shingle_hashes_flat(pdf["text"].tolist(), n)
+            counts = np.diff(offs)
+            live = np.flatnonzero(counts > 0)
+            if not len(live):
+                continue
+            # per-doc unique shingle hashes (matches array_distinct in
+            # shingles_df): sort (doc, hash) pairs, drop repeats
+            doc_of = np.repeat(np.arange(len(counts)), counts)
+            order = np.lexsort((sh, doc_of))
+            ds, hs = doc_of[order], sh[order]
+            keep = np.r_[True, (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])]
+            ds, hs = ds[keep], hs[keep]
+            hp = hs % p31  # 31-bit domain -> exact mod-p61 products
+            vals = (a[None, :] * hp[:, None] + b[None, :]) % p61  # (S, P)
+            starts = np.r_[0, np.flatnonzero(ds[1:] != ds[:-1]) + 1]
+            sig = np.minimum.reduceat(vals, starts, axis=0).astype(np.int64)
+            uniq_docs = ds[starts]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy()[uniq_docs], "sig": list(sig)}
+            )
 
-    return docs.select("doc_id", "text").mapInPandas(gen, schema="doc_id bigint, sig array<bigint>")
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id bigint, sig array<bigint>"
+    )
 
 
 def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16) -> DataFrame:
@@ -224,41 +253,82 @@ def minhash_dedup_pairs(
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, sim BIGINT) — 64-bit simhash of token hashes (stored
-    as signed int64 bit pattern)."""
+    as signed int64 bit pattern). Vectorized per Arrow batch: one flat
+    token-hash array, bit matrix, per-doc vote sums via
+    ``np.add.reduceat`` — no per-document Python loop."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(64, dtype=np.uint64)
         for pdf in batches:
             if pdf.empty:
                 continue
-            hs = [
-                hash_tokens(np.asarray(t.strip().split(), dtype=object))
-                for t in pdf["text"]
-            ]
-            sig = simhash64(hs).astype(np.int64)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sim": sig})
+            toks = [t.strip().split() for t in pdf["text"]]
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+            sig = np.zeros(len(pdf), dtype=np.uint64)
+            live = np.flatnonzero(lens > 0)
+            if len(live):
+                flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+                th = hash_tokens(flat)
+                bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+                starts = np.r_[0, np.cumsum(lens[live])[:-1]]
+                votes = np.add.reduceat(2 * bits - 1, starts, axis=0)
+                sig[live] = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sim": sig.astype(np.int64)})
 
     return docs.select("doc_id", "text").mapInPandas(gen, schema="doc_id bigint, sim bigint")
 
 
+# 64 bits -> 6 blocks (11,11,11,11,10,10). With max_hamming=3, at most
+# 3 blocks are corrupted, so >= 3 blocks are intact and at least one
+# of the C(6,3)=20 3-block combinations is FULLY intact (pigeonhole) —
+# the Manku/Jain/Sarma multi-index construction. Bucket keys are
+# 32-33 bits wide (vs 16 bits for single-chunk banding), so bucket
+# occupancy at 10^9+ docs stays ~n/2^32 per key instead of n/65536 —
+# no intra-bucket quadratic blowup; the cost is a bounded 20x
+# candidate-row fanout, all JVM-side.
+_SIM_BLOCK_OFFS = (0, 11, 22, 33, 44, 54)
+_SIM_BLOCK_BITS = (11, 11, 11, 11, 10, 10)
+
+
+def _sim_band_keys(sim_col):
+    """20 band keys: one per 3-block combination, each key packing the
+    three intact block values plus the combo index (JVM expressions)."""
+    from itertools import combinations
+
+    blocks = [
+        F.shiftrightunsigned(sim_col, off).bitwiseAND(F.lit((1 << w) - 1))
+        for off, w in zip(_SIM_BLOCK_OFFS, _SIM_BLOCK_BITS)
+    ]
+    keys = []
+    for combo_id, (i, j, k) in enumerate(combinations(range(6), 3)):
+        key = (
+            (blocks[i] * F.lit(1 << 22))
+            + (blocks[j] * F.lit(1 << 11))
+            + blocks[k]
+            + F.lit(combo_id * (1 << 34))
+        )
+        keys.append(key)
+    return keys
+
+
 def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs with Hamming(sim_a, sim_b) <= max_hamming. Candidates via
-    16-bit chunk banding (4 chunks; any pair within distance 3 shares
-    at least one exact chunk by pigeonhole), verified exactly with
-    bit_count — all JVM-side."""
+    """Pairs with Hamming(sim_a, sim_b) <= max_hamming. EXACT for
+    max_hamming <= 3: candidates via 20-way 3-block multi-index
+    banding (see _SIM_BLOCK_* notes), verified with bit_count — all
+    JVM-side, one equi-join shuffle on the ~33-bit band key."""
+    if max_hamming > 3:
+        raise ValueError("banding guarantees exactness only for max_hamming <= 3")
     sigs = simhash_signatures(docs)
-    chunks = sigs.select(
-        "doc_id",
-        "sim",
-        F.posexplode(
-            F.array(*[(F.shiftright("sim", 16 * i).bitwiseAND(F.lit(0xFFFF))) for i in range(4)])
-        ).alias("chunk_idx", "chunk"),
+    banded = sigs.select(
+        "doc_id", "sim", F.explode(F.array(*_sim_band_keys(F.col("sim")))).alias("bkey")
     )
     cand = (
-        chunks.alias("x")
+        banded.alias("x")
         .join(
-            chunks.alias("y"),
-            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
-            & (F.col("x.chunk") == F.col("y.chunk"))
+            banded.alias("y"),
+            (F.col("x.bkey") == F.col("y.bkey"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(
@@ -282,10 +352,35 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def embedding_neardup_pairs(embs: DataFrame, min_cos: float) -> DataFrame:
-    """Pairs (a, b), a < b, with cosine similarity >= min_cos. JVM-side
-    zip_with/aggregate arithmetic (no Python). Exact quadratic plan —
-    the scale path buckets by IVF cell first (similarity.py)."""
+def embedding_neardup_pairs(
+    unit_points: DataFrame,
+    min_cos: float,
+    d: int,
+    stats=None,
+    fine_col: str | None = "cell_fine",
+) -> DataFrame:
+    """Pairs (a, b), a < b, with cosine similarity >= min_cos.
+
+    On the unit sphere ``cos(a,b) >= tau  <=>  ||a-b|| <= sqrt(2-2tau)``,
+    so this IS the engine's headline epsilon-ball self-join after
+    normalization — cell-partitioned with ghost replication, ONE
+    repartitionByRange shuffle, NO cartesian/nested-loop join (the
+    round-1 catalog entry was O(n^2) rows through a.id < b.id).
+
+    ``unit_points``: (id, vec, cell[, cell_fine]) with L2-normalized
+    vecs (see similarity.unit_embedding_points)."""
+    radius = float(np.sqrt(max(0.0, 2.0 - 2.0 * min_cos)))
+    edges = ball_self_join(
+        unit_points, radius, d=d, fine_col=fine_col, stats=stats
+    )
+    return edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+
+
+def embedding_neardup_brute(embs: DataFrame, min_cos: float) -> DataFrame:
+    """Quadratic JVM-side oracle (zip_with/aggregate dot products over
+    an a<b self-join) — test ground truth only, never the catalog."""
     v = embs.select(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("v"),
@@ -304,19 +399,53 @@ def embedding_neardup_pairs(embs: DataFrame, min_cos: float) -> DataFrame:
 # ---- fingerprints ------------------------------------------------------------
 
 def doc_fingerprints(docs: DataFrame, window: int = 4) -> DataFrame:
-    """(doc_id, fp BIGINT) exploded winnowing fingerprints."""
+    """(doc_id, fp BIGINT) exploded winnowing fingerprints —
+    vectorized per Arrow batch: flat token-hash array, sliding-window
+    minima masked at document boundaries, per-doc dedupe via one
+    lexsort (no per-document Python loop)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids = []
-            fps = []
-            for did, text in zip(pdf["doc_id"], pdf["text"]):
-                h = hash_tokens(np.asarray(text.strip().split(), dtype=object))
-                f = rolling_fingerprints(h, window).astype(np.int64)
-                ids.extend([did] * len(f))
-                fps.extend(f.tolist())
-            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+            toks = [t.strip().split() for t in pdf["text"]]
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+            if int(lens.sum()) == 0:
+                continue
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+            th = hash_tokens(flat)
+            T = len(th)
+            # short docs (< window tokens): every token hash is a
+            # fingerprint (rolling_fingerprints convention)
+            doc_of_tok = np.repeat(np.arange(len(lens)), lens)
+            tok_starts = np.concatenate([[0], np.cumsum(lens)])
+            out_doc: list[np.ndarray] = []
+            out_fp: list[np.ndarray] = []
+            short = np.flatnonzero((lens > 0) & (lens < window))
+            if len(short):
+                smask = np.isin(doc_of_tok, short)
+                out_doc.append(doc_of_tok[smask])
+                out_fp.append(th[smask])
+            if T >= window:
+                sw = np.lib.stride_tricks.sliding_window_view(th, window)
+                wmin = sw.min(axis=1)
+                wdoc = doc_of_tok[: T - window + 1]
+                # window valid iff it ends in the same doc it starts in
+                valid = doc_of_tok[window - 1 :] == wdoc
+                # and the doc is long enough (implied by same-doc check)
+                out_doc.append(wdoc[valid])
+                out_fp.append(wmin[valid])
+            if not out_doc:
+                continue
+            dd = np.concatenate(out_doc)
+            ff = np.concatenate(out_fp)
+            # dedupe (doc, fp)
+            order = np.lexsort((ff, dd))
+            dd, ff = dd[order], ff[order]
+            keep = np.r_[True, (dd[1:] != dd[:-1]) | (ff[1:] != ff[:-1])]
+            dd, ff = dd[keep], ff[keep]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy()[dd], "fp": ff.astype(np.int64)}
+            )
 
     return docs.select("doc_id", "text").mapInPandas(gen, schema="doc_id bigint, fp bigint")

@@ -19,10 +19,17 @@ from ..core import covertree as ct
 from ..plans.grouped import grouped_apply
 from ..sources.tables import vec_matrix
 
+# CSR arrays and the point block serialize as RAW LITTLE-ENDIAN BYTES
+# (numpy .tobytes()), not ARRAY<> columns: element-typed arrays pay a
+# per-element boxing conversion through Arrow -> UnsafeRow -> parquet
+# that saturates memory bandwidth when many writer tasks run
+# concurrently (measured 2.2x ANTI-scaling 8->32 tasks on the 3M-point
+# index write); binary blobs stream straight through. Bytes are exact
+# IEEE — query parity with the transient path is bit-identical.
 TREE_SCHEMA = (
-    "cell bigint, n bigint, childarr array<bigint>, childptrs array<bigint>, "
-    "centers array<bigint>, radii array<double>, ids array<bigint>, "
-    "points array<double>"
+    "cell bigint, n bigint, childarr binary, childptrs binary, "
+    "centers binary, radii binary, ids binary, "
+    "points binary, centroid array<double>, circumradius double"
 )
 
 
@@ -39,16 +46,23 @@ def build_trees(
     def per_cell(cell, pdf: pd.DataFrame) -> pd.DataFrame:
         X = vec_matrix(pdf)
         tree = ct.build(X, cover=cover, leaf_size=leaf_size)
+        # per-cell pruning stats ride with the index row, so queries
+        # over a loaded index need no extra stats scan (the index is
+        # self-describing — see stats_from_trees)
+        centroid = X.mean(axis=0)
+        circ = float(np.sqrt(ct.pairwise_sq_dists(X, centroid[None, :]).max()))
         return pd.DataFrame(
             {
                 "cell": [np.int64(cell)],
                 "n": [np.int64(len(pdf))],
-                "childarr": [tree.childarr],
-                "childptrs": [tree.childptrs],
-                "centers": [tree.centers],
-                "radii": [tree.radii],
-                "ids": [pdf["id"].to_numpy()],
-                "points": [X.ravel()],
+                "childarr": [tree.childarr.astype("<i8").tobytes()],
+                "childptrs": [tree.childptrs.astype("<i8").tobytes()],
+                "centers": [tree.centers.astype("<i8").tobytes()],
+                "radii": [tree.radii.astype("<f8").tobytes()],
+                "ids": [pdf["id"].to_numpy().astype("<i8").tobytes()],
+                "points": [X.astype("<f8").ravel().tobytes()],
+                "centroid": [centroid],
+                "circumradius": [circ],
             }
         )
 
@@ -61,15 +75,37 @@ def build_trees(
     )
 
 
-def tree_from_row(row) -> tuple[ct.CoverTree, np.ndarray, np.ndarray]:
-    """Deserialize one cell row -> (tree, point block, global ids)."""
-    tree = ct.CoverTree(
-        childarr=np.asarray(row["childarr"], dtype=np.int64),
-        childptrs=np.asarray(row["childptrs"], dtype=np.int64),
-        centers=np.asarray(row["centers"], dtype=np.int64),
-        radii=np.asarray(row["radii"], dtype=np.float64),
+def stats_from_trees(trees: DataFrame):
+    """Reconstruct the broadcastable CellStats from the persisted
+    index ALONE (one tiny driver collect of per-cell summary columns)
+    — queries over a loaded index need neither the original points nor
+    a stats rescan: the index is self-describing, which is the
+    resumable-index claim of the north_rule."""
+    from .partition import CellStats
+
+    pdf = (
+        trees.select("cell", "n", "centroid", "circumradius")
+        .orderBy("cell")
+        .toPandas()
     )
-    ids = np.asarray(row["ids"], dtype=np.int64)
+    return CellStats(
+        cell_ids=pdf["cell"].to_numpy(dtype=np.int64),
+        counts=pdf["n"].to_numpy(dtype=np.int64),
+        centroids=np.stack(pdf["centroid"].to_numpy()).astype(np.float64),
+        circumradii=pdf["circumradius"].to_numpy(dtype=np.float64),
+    )
+
+
+def tree_from_row(row) -> tuple[ct.CoverTree, np.ndarray, np.ndarray]:
+    """Deserialize one cell row -> (tree, point block, global ids).
+    Zero-copy: np.frombuffer over the binary columns."""
+    tree = ct.CoverTree(
+        childarr=np.frombuffer(row["childarr"], dtype="<i8"),
+        childptrs=np.frombuffer(row["childptrs"], dtype="<i8"),
+        centers=np.frombuffer(row["centers"], dtype="<i8"),
+        radii=np.frombuffer(row["radii"], dtype="<f8"),
+    )
+    ids = np.frombuffer(row["ids"], dtype="<i8")
     n = int(row["n"])
-    pts = np.asarray(row["points"], dtype=np.float64).reshape(n, -1)
+    pts = np.frombuffer(row["points"], dtype="<f8").reshape(n, -1)
     return tree, pts, ids

@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 
 from ..core import covertree as ct
 from ..plans.grouped import grouped_apply
+from ..plans.metrics import counted_stream
+from ..plans.session import mark_releasable
 from ..sources.tables import vec_matrix
 from .partition import CellStats, cell_stats
 
@@ -50,132 +52,38 @@ def knn_self_join(
     fine_col: str | None = None,
     queries: DataFrame | None = None,
     brute_cutoff: int = 1024,
+    stats: CellStats | None = None,
 ) -> DataFrame:
     """Exact kNN of every query against ``points`` (self-join by
     default: queries = points, self-pairs excluded). Returns
-    (src, dst, rank, dist) with rank 1..k ordered by (dist, dst)."""
+    (src, dst, rank, dist) with rank 1..k ordered by (dist, dst).
+
+    Caching contract: when ``stats`` is None the input is persisted
+    (three downstream scans) and registered with
+    ``plans.session.mark_releasable`` — callers running many queries
+    in one session should call ``release_intermediates()`` after
+    materializing the result. Passing a precomputed ``stats`` (see
+    ``partition.cell_stats``) skips the two stats scans AND the
+    input persist — the caller owns the input's storage level."""
     spark = points.sparkSession
-    points = points.persist()  # scanned by stats (2x), homes, (queries)
-    stats = cell_stats(points, d, cell_col, fine_col)
-    if len(stats.cell_ids) > 128:
+    if stats is None:
+        # scanned by stats (2x), homes, (queries)
+        points = mark_releasable(points.persist())
+        stats = cell_stats(points, d, cell_col, fine_col)
+    if len(stats.cell_ids) > 128 and stats.coarse_of is None:
         stats = stats.with_hierarchy(n_coarse=64)
     stats_bc = spark.sparkContext.broadcast(stats)
-    nparts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                        len(stats.partition_cells)))
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     qdf = queries if queries is not None else points
     self_join = queries is None
     need = k + 1 if self_join else k  # +1 absorbs the self-hit
-
-    def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        st: CellStats = stats_bc.value
-        order_counts = st.counts
-        # keep the (queries x entries) working matrices CACHE-RESIDENT
-        # (~2MB): on shared-bandwidth hosts, streaming matrices through
-        # memory serializes all workers; cache-sized blocks scale.
-        chunk = max(64, (1 << 21) // (8 * max(1, len(st.cell_ids))))
-        for whole in batches:
-            if whole.empty:
-                continue
-            for s in range(0, len(whole), chunk):
-                pdf = whole.iloc[s : s + chunk]
-                yield from _phase1_chunk(st, order_counts, pdf)
-
-    def _phase1_chunk(st, order_counts, pdf):
-            Q = vec_matrix(pdf)
-            from ..core.covertree import pairwise_sq_dists
-
-            circ = st.circumradii
-            total = int(order_counts.sum())
-            goal = min(need, total)
-
-            def covering_ub(d2, counts, circs):
-                """Upper bound on the kth distance from a covering set:
-                entries in d2 order until their counts reach `goal`;
-                ub = max over that prefix of dist-to-centroid + circ.
-                (Any covering set yields a VALID bound; d2 order is a
-                cheap proxy for lower-bound order.)"""
-                E2 = d2.shape[1]
-                m = min(E2, max(8, 4 * max(1, need // max(1, int(counts.min())))))
-                while True:
-                    part = (
-                        np.argpartition(d2, m - 1, axis=1)[:, :m] if m < E2
-                        else np.broadcast_to(np.arange(E2), d2.shape).copy()
-                    )
-                    d2_part = np.take_along_axis(d2, part, axis=1)
-                    ord2 = np.argsort(d2_part, axis=1, kind="stable")
-                    sorted_idx = np.take_along_axis(part, ord2, axis=1)
-                    cum = np.cumsum(counts[sorted_idx], axis=1)
-                    reach = cum >= goal
-                    if bool(reach.any(axis=1).all()) or m >= E2:
-                        break
-                    m = min(E2, m * 4)
-                cut = reach.argmax(axis=1)
-                cut = np.where(reach.any(axis=1), cut, m - 1)
-                prefix_mask = np.arange(m)[None, :] <= cut[:, None]
-                dc_sel = np.sqrt(np.take_along_axis(d2_part, ord2, axis=1))
-                ub_sel = dc_sel + circs[sorted_idx]
-                return np.where(prefix_mask, ub_sel, -np.inf).max(axis=1)
-
-            # SAFETY MARGIN everywhere bounds gate candidates: ~1e-15
-            # float noise can put a true kth neighbor exactly AT the
-            # bound; 1e-9 relative slack makes candidate sets strict
-            # supersets (final ranking uses exact distances).
-            if st.coarse_of is None:
-                d2 = pairwise_sq_dists(Q, st.centroids)
-                ub_k = covering_ub(d2, order_counts, circ) * (1.0 + 1e-9)
-                thr = ub_k[:, None] + circ[None, :]
-                cand = d2 <= thr * thr
-                ent_of_col = np.arange(len(st.cell_ids))
-            else:
-                # hierarchical cover prune: coarse bound first, then
-                # fine entries of surviving coarse groups only —
-                # O(nq x G) + O(nq x |surviving fine|)
-                d2c = pairwise_sq_dists(Q, st.coarse_centroids)
-                ub0 = covering_ub(
-                    d2c, st.coarse_counts, st.coarse_circumradii
-                ) * (1.0 + 1e-9)
-                thrc = ub0[:, None] + st.coarse_circumradii[None, :]
-                surv = d2c <= thrc * thrc
-                union = np.flatnonzero(surv.any(axis=0))
-                fidx = np.concatenate([st.coarse_members[g] for g in union])
-                d2f = pairwise_sq_dists(Q, st.centroids[fidx])
-                valid = surv[:, st.coarse_of[fidx]]
-                d2m = np.where(valid, d2f, np.inf)
-                ubf = covering_ub(d2m, order_counts[fidx], circ[fidx])
-                # both bounds are valid; an inf prefix entry (under-
-                # covered mask) degrades gracefully to ub0
-                ub_k = np.minimum(ubf, ub0) * (1.0 + 1e-9)
-                thr = ub_k[:, None] + circ[fidx][None, :]
-                cand = valid & (d2f <= thr * thr)
-                ent_of_col = fidx
-            qi, ej = np.nonzero(cand)
-            ej = ent_of_col[ej]
-            # dedupe (query, partition-cell): several fine stats entries
-            # can map to one coarse cell
-            coarse = st.cell_ids
-            stride = int(coarse.max()) + 1 if len(coarse) else 1
-            key = qi.astype(np.int64) * stride + coarse[ej]
-            uk = np.unique(key)
-            qi2 = uk // stride
-            tgt = uk % stride
-            # candidate-cell count per query row: queries in exactly one
-            # cell skip the global merge entirely (their local top-k is
-            # already final)
-            ncand = np.bincount(qi2, minlength=len(pdf))[qi2].astype(np.int32)
-            yield pd.DataFrame(
-                {
-                    "cell": tgt,
-                    "qid": pdf["id"].to_numpy()[qi2],
-                    "vec": pdf["vec"].to_numpy()[qi2],
-                    "rq": ub_k[qi2],
-                    "ncand": ncand,
-                }
-            )
-
+    phase1 = make_phase1(stats_bc, need)
     # persist candidates: the range partitioner's sampling pass would
     # otherwise recompute phase 1 a second time
-    candidates = (
-        qdf.select("id", "vec").mapInPandas(phase1, schema=CAND_SCHEMA).persist()
+    candidates = mark_releasable(
+        qdf.select("id", "vec")
+        .mapInPandas(counted_stream(phase1), schema=CAND_SCHEMA)
+        .persist()
     )
 
     home = points.select(F.col(cell_col).alias("cell"), "id", "vec")
@@ -234,9 +142,15 @@ def knn_self_join(
 
     parts = grouped_apply(assigned, "cell", per_cell, PART_SCHEMA, strategy=strategy,
                           num_partitions=nparts)
-    # single-candidate-cell queries: the per-cell local rank IS the
-    # global rank (no other cell can contribute); only multi-cell
-    # queries pay the global merge shuffle
+    return _merge_topk(parts, k)
+
+
+def _merge_topk(parts: DataFrame, k: int) -> DataFrame:
+    """Global top-k merge of per-cell partial results.
+
+    Single-candidate-cell queries: the per-cell local rank IS the
+    global rank (no other cell can contribute) — they skip the merge
+    shuffle entirely; only multi-cell queries pay the window."""
     single = parts.filter(F.col("ncand") <= 1).select(
         "qid", "nid", "dist", F.col("lrank").alias("rank")
     )
@@ -253,3 +167,194 @@ def knn_self_join(
         F.col("rank").cast("int").alias("rank"),
         F.col("dist"),
     )
+
+
+def make_phase1(stats_bc, need: int):
+    """Build the phase-1 (broadcast cell-cover pruning) mapInPandas
+    function: per query, an upper bound on its ``need``-th distance
+    from the broadcast stats, then candidate cells = every cell whose
+    lower bound clears it. Shared by knn_self_join (transient trees)
+    and knn_over_index (persisted trees)."""
+
+    def phase1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        st: CellStats = stats_bc.value
+        order_counts = st.counts
+        # keep the (queries x entries) working matrices CACHE-RESIDENT
+        # (~2MB): on shared-bandwidth hosts, streaming matrices through
+        # memory serializes all workers; cache-sized blocks scale.
+        chunk = max(64, (1 << 21) // (8 * max(1, len(st.cell_ids))))
+        for whole in batches:
+            if whole.empty:
+                continue
+            for s in range(0, len(whole), chunk):
+                pdf = whole.iloc[s : s + chunk]
+                yield from _phase1_chunk(st, order_counts, pdf, need)
+
+    return phase1
+
+
+def _phase1_chunk(st, order_counts, pdf, need):
+    Q = vec_matrix(pdf)
+    from ..core.covertree import pairwise_sq_dists
+
+    circ = st.circumradii
+    total = int(order_counts.sum())
+    goal = min(need, total)
+
+    def covering_ub(d2, counts, circs):
+        """Upper bound on the kth distance from a covering set:
+        entries in d2 order until their counts reach `goal`;
+        ub = max over that prefix of dist-to-centroid + circ.
+        (Any covering set yields a VALID bound; d2 order is a
+        cheap proxy for lower-bound order.)"""
+        E2 = d2.shape[1]
+        m = min(E2, max(8, 4 * max(1, need // max(1, int(counts.min())))))
+        while True:
+            part = (
+                np.argpartition(d2, m - 1, axis=1)[:, :m] if m < E2
+                else np.broadcast_to(np.arange(E2), d2.shape).copy()
+            )
+            d2_part = np.take_along_axis(d2, part, axis=1)
+            ord2 = np.argsort(d2_part, axis=1, kind="stable")
+            sorted_idx = np.take_along_axis(part, ord2, axis=1)
+            cum = np.cumsum(counts[sorted_idx], axis=1)
+            reach = cum >= goal
+            if bool(reach.any(axis=1).all()) or m >= E2:
+                break
+            m = min(E2, m * 4)
+        cut = reach.argmax(axis=1)
+        cut = np.where(reach.any(axis=1), cut, m - 1)
+        prefix_mask = np.arange(m)[None, :] <= cut[:, None]
+        dc_sel = np.sqrt(np.take_along_axis(d2_part, ord2, axis=1))
+        ub_sel = dc_sel + circs[sorted_idx]
+        return np.where(prefix_mask, ub_sel, -np.inf).max(axis=1)
+
+    # SAFETY MARGIN everywhere bounds gate candidates: ~1e-15
+    # float noise can put a true kth neighbor exactly AT the
+    # bound; 1e-9 relative slack makes candidate sets strict
+    # supersets (final ranking uses exact distances).
+    if st.coarse_of is None:
+        d2 = pairwise_sq_dists(Q, st.centroids)
+        ub_k = covering_ub(d2, order_counts, circ) * (1.0 + 1e-9)
+        thr = ub_k[:, None] + circ[None, :]
+        cand = d2 <= thr * thr
+        ent_of_col = np.arange(len(st.cell_ids))
+    else:
+        # hierarchical cover prune: coarse bound first, then
+        # fine entries of surviving coarse groups only —
+        # O(nq x G) + O(nq x |surviving fine|)
+        d2c = pairwise_sq_dists(Q, st.coarse_centroids)
+        ub0 = covering_ub(
+            d2c, st.coarse_counts, st.coarse_circumradii
+        ) * (1.0 + 1e-9)
+        thrc = ub0[:, None] + st.coarse_circumradii[None, :]
+        surv = d2c <= thrc * thrc
+        union = np.flatnonzero(surv.any(axis=0))
+        fidx = np.concatenate([st.coarse_members[g] for g in union])
+        d2f = pairwise_sq_dists(Q, st.centroids[fidx])
+        valid = surv[:, st.coarse_of[fidx]]
+        d2m = np.where(valid, d2f, np.inf)
+        ubf = covering_ub(d2m, order_counts[fidx], circ[fidx])
+        # both bounds are valid; an inf prefix entry (under-
+        # covered mask) degrades gracefully to ub0
+        ub_k = np.minimum(ubf, ub0) * (1.0 + 1e-9)
+        thr = ub_k[:, None] + circ[fidx][None, :]
+        cand = valid & (d2f <= thr * thr)
+        ent_of_col = fidx
+    qi, ej = np.nonzero(cand)
+    ej = ent_of_col[ej]
+    # dedupe (query, partition-cell): several fine stats entries
+    # can map to one coarse cell
+    coarse = st.cell_ids
+    stride = int(coarse.max()) + 1 if len(coarse) else 1
+    key = qi.astype(np.int64) * stride + coarse[ej]
+    uk = np.unique(key)
+    qi2 = uk // stride
+    tgt = uk % stride
+    # candidate-cell count per query row: queries in exactly one
+    # cell skip the global merge entirely (their local top-k is
+    # already final)
+    ncand = np.bincount(qi2, minlength=len(pdf))[qi2].astype(np.int32)
+    yield pd.DataFrame(
+        {
+            "cell": tgt,
+            "qid": pdf["id"].to_numpy()[qi2],
+            "vec": pdf["vec"].to_numpy()[qi2],
+            "rq": ub_k[qi2],
+            "ncand": ncand,
+        }
+    )
+
+
+def knn_over_index(
+    trees: DataFrame,
+    queries: DataFrame,
+    k: int,
+    d: int,
+    stats: CellStats,
+    self_join: bool = True,
+) -> DataFrame:
+    """Exact kNN answered from a PERSISTED per-cell cover-tree index
+    (operators/index.build_trees output read back from parquet) —
+    the resumable-index path of the north_rule: tree construction is a
+    checkpointed stage and queries never rebuild.
+
+    Plan: phase 1 exactly as knn_self_join (broadcast cell-cover
+    pruning over the index's own stats), then a **cogrouped** pandas
+    apply — candidates grouped by cell meet the one tree row of that
+    cell; ``ct.knn_descend`` runs against the deserialized CSR arrays.
+    The tree blobs move through ONE hash shuffle keyed by cell (no
+    per-row duplication of the index).
+
+    Returns (src, dst, rank, dist) — identical to knn_self_join on the
+    same points (tests + the knn_over_index catalog entry assert it).
+    """
+    spark = queries.sparkSession
+    if len(stats.cell_ids) > 128 and stats.coarse_of is None:
+        stats = stats.with_hierarchy(n_coarse=64)
+    stats_bc = spark.sparkContext.broadcast(stats)
+    need = k + 1 if self_join else k
+    phase1 = make_phase1(stats_bc, need)
+    candidates = mark_releasable(
+        queries.select("id", "vec")
+        .mapInPandas(counted_stream(phase1), schema=CAND_SCHEMA)
+        .persist()
+    )
+
+    from .index import tree_from_row
+
+    def per_cell(_key, cand_pdf: pd.DataFrame, tree_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"qid": [], "nid": [], "dist": [], "lrank": [], "ncand": []}
+        ).astype(
+            {"qid": "int64", "nid": "int64", "dist": "float64",
+             "lrank": "int32", "ncand": "int32"}
+        )
+        if cand_pdf.empty or tree_pdf.empty:
+            return empty
+        tree, H, hid = tree_from_row(tree_pdf.iloc[0])
+        Q = vec_matrix(cand_pdf)
+        qids = cand_pdf["qid"].to_numpy()
+        rq = cand_pdf["rq"].to_numpy()
+        excl = qids if self_join else None
+        qi, pi, di = ct.knn_descend(
+            tree, H, Q, k, init_bound=rq, exclude_self_ids=excl, point_ids=hid
+        )
+        if len(qi):
+            firsts = np.r_[0, np.flatnonzero(qi[1:] != qi[:-1]) + 1]
+            starts = np.repeat(firsts, np.diff(np.r_[firsts, len(qi)]))
+            lrank = (np.arange(len(qi)) - starts + 1).astype(np.int32)
+        else:
+            lrank = np.empty(0, dtype=np.int32)
+        nc = cand_pdf["ncand"].to_numpy()[qi].astype(np.int32)
+        return pd.DataFrame(
+            {"qid": qids[qi], "nid": hid[pi], "dist": di, "lrank": lrank,
+             "ncand": nc}
+        )
+
+    parts = (
+        candidates.groupby("cell")
+        .cogroup(trees.groupby("cell"))
+        .applyInPandas(per_cell, schema=PART_SCHEMA)
+    )
+    return _merge_topk(parts, k)

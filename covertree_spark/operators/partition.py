@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..core import cells as cellcodec
+from ..plans.metrics import counted_stream
 from ..sources.tables import vec_matrix
 
 
@@ -165,7 +166,7 @@ def assign_voronoi_cells(points: DataFrame, centers: np.ndarray) -> DataFrame:
             yield out
 
     schema = "id bigint, vec array<double>, cell bigint"
-    return points.mapInPandas(assign, schema=schema)
+    return points.mapInPandas(counted_stream(assign), schema=schema)
 
 
 def voronoi_centers(points: DataFrame, k: int, sample_size: int = 4096) -> np.ndarray:
@@ -200,6 +201,51 @@ def voronoi_centers(points: DataFrame, k: int, sample_size: int = 4096) -> np.nd
         centers.append(X[far])
         mind = np.minimum(mind, dists_to(X, X[far]))
     return np.stack(centers)
+
+
+def coarse_group_of(centers: np.ndarray, n_coarse: int) -> np.ndarray:
+    """Driver-side Gonzalez grouping of (fine) centers into
+    ``n_coarse`` groups — (k,) int64 group index per center. Used to
+    derive the coarse shuffle key from ONE fine assignment pass
+    instead of running voronoi_centers twice (one extra sample
+    total-sort + one extra assignment scan per query, see VERDICT
+    round 1)."""
+    from ..core.covertree import dists_to, pairwise_sq_dists
+
+    k = len(centers)
+    g = min(n_coarse, k)
+    chosen = [0]
+    mind = dists_to(centers, centers[0])
+    for _ in range(g - 1):
+        far = int(mind.argmax())
+        chosen.append(far)
+        mind = np.minimum(mind, dists_to(centers, centers[far]))
+    seeds = centers[np.asarray(chosen)]
+    return pairwise_sq_dists(centers, seeds).argmin(axis=1).astype(np.int64)
+
+
+def assign_two_level(points: DataFrame, fine_centers: np.ndarray,
+                     coarse_of: np.ndarray) -> DataFrame:
+    """(id, vec, cell, cell_fine) in ONE vectorized pass: fine cell =
+    nearest fine center, coarse cell = its driver-derived group."""
+    C = fine_centers.astype(np.float64)
+    G = np.asarray(coarse_of, dtype=np.int64)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.covertree import pairwise_sq_dists
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = vec_matrix(pdf)
+            fine = pairwise_sq_dists(X, C).argmin(axis=1).astype(np.int64)
+            out = pdf[["id", "vec"]].copy()
+            out["cell"] = G[fine]
+            out["cell_fine"] = fine
+            yield out
+
+    schema = "id bigint, vec array<double>, cell bigint, cell_fine bigint"
+    return points.mapInPandas(counted_stream(assign), schema=schema)
 
 
 def cell_counts(points: DataFrame) -> DataFrame:
@@ -344,4 +390,4 @@ def replicate_ghosts(
                 yield out_home
 
     schema = "cell bigint, id bigint, vec array<double>, is_ghost boolean"
-    return points.mapInPandas(dilate, schema=schema)
+    return points.mapInPandas(counted_stream(dilate), schema=schema)

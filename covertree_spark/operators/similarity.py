@@ -11,9 +11,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..core import covertree as ct
-from .dedup import _dot
 from .knn import knn_self_join
-from .partition import assign_voronoi_cells, voronoi_centers
+from .partition import (
+    assign_two_level,
+    assign_voronoi_cells,
+    coarse_group_of,
+    voronoi_centers,
+)
 
 
 def cosine_topk_brute(embs: DataFrame, k: int) -> DataFrame:
@@ -71,11 +75,8 @@ def cosine_topk_brute(embs: DataFrame, k: int) -> DataFrame:
     return base.mapInPandas(scan, schema="src bigint, dst bigint, rank bigint")
 
 
-def cosine_knn_exact(embs: DataFrame, k: int, voronoi_k: int = 8) -> DataFrame:
-    """EXACT cosine top-k at scale: L2-normalize, then run the
-    partitioned exact-kNN plan (cosine order == L2 order on the unit
-    sphere: ||a-b||^2 = 2 - 2cos). Returns (src, dst, rank)."""
-
+def normalized_points(embs: DataFrame) -> DataFrame:
+    """embeddings -> (id, vec) with L2-normalized float64 vecs."""
     from collections.abc import Iterator
     import pandas as pd
     from ..sources.tables import vec_matrix
@@ -93,11 +94,41 @@ def cosine_knn_exact(embs: DataFrame, k: int, voronoi_k: int = 8) -> DataFrame:
             X = X / np.linalg.norm(X, axis=1, keepdims=True)
             yield pd.DataFrame({"id": pdf["id"], "vec": list(X)})
 
-    unit = raw.mapInPandas(normalize, schema="id bigint, vec array<double>")
-    centers = voronoi_centers(unit, k=voronoi_k)
-    pts = assign_voronoi_cells(unit, centers)
-    d = len(raw.first()["vec"])
-    knn = knn_self_join(pts, k=k, d=d)
+    return raw.mapInPandas(normalize, schema="id bigint, vec array<double>")
+
+
+def unit_embedding_points(
+    embs: DataFrame, fine_k: int = 64, coarse_k: int = 8
+) -> DataFrame:
+    """(id, vec, cell, cell_fine) over L2-normalized embeddings: ONE
+    Voronoi sample pass (fine centers), coarse shuffle groups derived
+    driver-side from the fine centers, ONE assignment scan — cosine
+    order == L2 order on the unit sphere (||a-b||^2 = 2 - 2cos), so
+    every cosine query downstream is a plain metric query."""
+    unit = normalized_points(embs)
+    fine_centers = voronoi_centers(unit, k=fine_k)
+    coarse_of = coarse_group_of(fine_centers, coarse_k)
+    return assign_two_level(unit, fine_centers, coarse_of)
+
+
+def cosine_knn_exact(
+    embs: DataFrame | None,
+    k: int,
+    d: int | None = None,
+    voronoi_k: int = 64,
+    pts: DataFrame | None = None,
+    stats=None,
+) -> DataFrame:
+    """EXACT cosine top-k at scale: L2-normalize, then the partitioned
+    exact-kNN plan. Returns (src, dst, rank). Pass prepared
+    ``pts``/``stats`` (see unit_embedding_points / cell_stats) to skip
+    the preparation scans; ``d`` is the embedding dimension (required
+    — never derived via a driver .first() job)."""
+    if pts is None:
+        pts = unit_embedding_points(embs, fine_k=voronoi_k)
+    if d is None:
+        raise ValueError("pass the embedding dimension d explicitly")
+    knn = knn_self_join(pts, k=k, d=d, fine_col="cell_fine", stats=stats)
     return knn.select("src", "dst", "rank")
 
 
@@ -111,22 +142,10 @@ def ivf_topk(
     from collections.abc import Iterator
     import pandas as pd
     from ..plans.grouped import grouped_apply
+    from ..plans.session import mark_releasable
     from ..sources.tables import vec_matrix
 
-    raw = embs.select(
-        F.col("vec_id").alias("id"),
-        F.col("embedding").cast("array<double>").alias("vec"),
-    )
-
-    def normalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            X = vec_matrix(pdf)
-            X = X / np.linalg.norm(X, axis=1, keepdims=True)
-            yield pd.DataFrame({"id": pdf["id"], "vec": list(X)})
-
-    unit = raw.mapInPandas(normalize, schema="id bigint, vec array<double>").persist()
+    unit = mark_releasable(normalized_points(embs).persist())
     centers = voronoi_centers(unit, k=nlist)
     pts = assign_voronoi_cells(unit, centers)
     spark = embs.sparkSession

@@ -76,19 +76,17 @@ class Warehouse:
         df.write.mode("overwrite").parquet(data_dir)
         out = spark.read.parquet(data_dir)
         # per-partition lineage/row-count metrics (reference A5 stats,
-        # rgraph.py:131-151, as a table instead of a JSON blob)
-        metrics = (
+        # rgraph.py:131-151, as a table instead of a JSON blob). ONE
+        # scan: the tiny per-partition histogram is collected, its sum
+        # is the manifest row count (no separate out.count() job).
+        pc = (
             out.withColumn("partition_id", F.spark_partition_id())
             .groupBy("partition_id")
             .agg(F.count("*").alias("row_count"))
-            .withColumn("run_id", F.lit(self.run_id))
-            .withColumn("table", F.lit(table))
-            .withColumn("snapshot", F.lit(snap))
-            .withColumn("wall_s", F.lit(time.time() - t0))
-            .withColumn("ts", F.current_timestamp())
+            .collect()
         )
-        mdir = os.path.join(self.root, "_metrics")
-        metrics.write.mode("append").parquet(mdir)
+        rows = sum(r["row_count"] for r in pc)
+        wall_s = time.time() - t0
 
         man = self._manifest_path(table, snap)
         os.makedirs(os.path.dirname(man), exist_ok=True)
@@ -99,12 +97,28 @@ class Warehouse:
                     "snapshot": snap,
                     "table": table,
                     "run_id": self.run_id,
-                    "rows": out.count(),
+                    "rows": rows,
                     "committed_at": time.time(),
                 },
                 f,
             )
         os.rename(tmp, man)
+        # metrics append AFTER the manifest commit: a crash between
+        # data write and manifest can no longer leave metrics rows for
+        # a snapshot that never committed; a crash between manifest
+        # and metrics loses only metrics (recoverable from the
+        # manifest), never correctness (ADVICE round 1)
+        metrics = spark.createDataFrame(
+            [
+                (int(r["partition_id"]), int(r["row_count"]), self.run_id,
+                 table, snap, float(wall_s))
+                for r in pc
+            ],
+            "partition_id int, row_count bigint, run_id string, "
+            "table string, snapshot string, wall_s double",
+        ).withColumn("ts", F.current_timestamp())
+        mdir = os.path.join(self.root, "_metrics")
+        metrics.write.mode("append").parquet(mdir)
         return out
 
     def read(self, spark: SparkSession, table: str, snap: str) -> DataFrame:

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .metrics import counted_stream
+
 
 def grouped_apply(
     df: DataFrame,
@@ -54,7 +56,7 @@ def grouped_apply(
         def stream_aligned(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             yield from _stream_groups(batches, key, func)
 
-        return df.mapInPandas(stream_aligned, schema=schema)
+        return df.mapInPandas(counted_stream(stream_aligned), schema=schema)
 
     if strategy != "range":
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -64,7 +66,7 @@ def grouped_apply(
 
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     shuffled = df.repartitionByRange(int(parts), F.col(key)).sortWithinPartitions(key)
-    return shuffled.mapInPandas(stream_groups, schema=schema)
+    return shuffled.mapInPandas(counted_stream(stream_groups), schema=schema)
 
 
 def _stream_groups(

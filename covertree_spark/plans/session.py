@@ -33,6 +33,36 @@ def _package_zip() -> str:
     return out
 
 
+# ---- persisted-intermediate registry (caching contract) --------------------
+# Operators persist transient intermediates (candidate sets, input re-scans)
+# because several downstream jobs consume them. A long-lived session running
+# many queries (bench.py, the driver gate) would otherwise accumulate cached
+# blocks until storage eviction (ADVICE round 1). Operators register such
+# DataFrames here; callers invoke release_intermediates() once the query's
+# result is materialized. Inputs the CALLER persisted (e.g. the catalog's
+# prepared-points cache) are never registered, so they survive release.
+_RELEASABLE: list = []
+
+
+def mark_releasable(df):
+    _RELEASABLE.append(df)
+    return df
+
+
+def release_intermediates() -> int:
+    """Unpersist every operator-persisted intermediate. Call after the
+    query result is materialized (never before: the plan would
+    recompute). Returns the number released."""
+    n = len(_RELEASABLE)
+    for df in _RELEASABLE:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+    _RELEASABLE.clear()
+    return n
+
+
 def get_spark(
     app_name: str = "covertree_spark",
     cpus: int | None = None,

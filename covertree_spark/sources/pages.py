@@ -93,13 +93,21 @@ def blob_points(
     spread: float = 0.05,
     seed: int = 42,
     partitions: int | None = None,
+    ambient: int | None = None,
 ) -> DataFrame:
     """Deterministic distributed Gaussian-ish blobs (the reference's
-    benchmark generator shape, /root/reference/ptgen.py:18-26 /
+    benchmark generator shape, /root/reference/ptgen.py:9-33 /
     job_nersc_blobs.sh): cluster = id % n_clusters, offset = integer-
     hash uniform noise — a pure function of (seed, id), so identical
     at any parallelism. Returns (id, vec ARRAY<DOUBLE>, cell) with
-    cell = true cluster id (callers may re-partition via Voronoi)."""
+    cell = true cluster id (callers may re-partition via Voronoi).
+
+    ``ambient``: like the reference's ptgen.py zero-pad + random QR
+    rotation — points are generated in d intrinsic dimensions, padded
+    to the ambient dimension and rotated by a seeded orthogonal matrix
+    (distances preserved exactly; the workload gains the reference's
+    high-ambient/low-intrinsic structure instead of axis-aligned
+    coordinates)."""
     rng = np.random.default_rng(seed)
     centers = rng.uniform(-1.0, 1.0, size=(n_clusters, d))
     parts = partitions or spark.sparkContext.defaultParallelism
@@ -108,6 +116,12 @@ def blob_points(
     # rely on bounded doubling dimension; uniform full-d noise is the
     # degenerate case where covering numbers explode
     scales = spread * (0.7 ** np.arange(d))
+    rot = None
+    if ambient is not None and ambient > d:
+        # seeded QR of a gaussian -> uniform(Haar) orthogonal rotation
+        # (ptgen.py:27-31); applied as one GEMM per batch
+        q, _ = np.linalg.qr(rng.normal(size=(ambient, ambient)))
+        rot = q[:, :d].T.copy()  # (d, ambient): vec_amb = x @ rot
 
     def _splitmix64(x: np.ndarray) -> np.ndarray:
         # full-avalanche mixer: a weak multiplicative hash here produces
@@ -128,6 +142,8 @@ def blob_points(
             h = _splitmix64(key)
             noise = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53) - 0.5
             X = centers[c] + scales[None, :] * noise
+            if rot is not None:
+                X = X @ rot
             yield pd.DataFrame({"id": ids, "vec": list(X), "cell": c})
 
     return spark.range(0, n, 1, parts).mapInPandas(

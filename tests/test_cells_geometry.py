@@ -31,6 +31,33 @@ def test_lonlat_sql_bit_identical():
     assert np.array_equal(got["lat"], lat)
 
 
+def test_lonlat_big_ids_no_overflow():
+    """The 10^12-doc path: the id->lon/lat recipe must stay exact far
+    beyond the naive int64 overflow point (id ~ 3.47e9). Checks numpy
+    against exact Python-int arithmetic AND against the SQL fragment
+    in DuckDB at ids {2^31, 2^35, 2^40, 10^12}."""
+    ids = np.sort(
+        np.array([0, 1, 499, 2**31, 2**31 + 7, 2**35, 10**12, 2**40], dtype=np.int64)
+    )
+    lon, lat = geometry.lonlat_from_id(ids)
+    # ground truth with arbitrary-precision Python ints
+    exp_lon = np.array(
+        [((int(i) * 2654435761) % 2**32) * 360.0 / 2**32 - 180.0 for i in ids]
+    )
+    exp_lat = np.array(
+        [(((int(i) + 1) * 2246822519) % 2**32) * 180.0 / 2**32 - 90.0 for i in ids]
+    )
+    assert np.array_equal(lon, exp_lon)
+    assert np.array_equal(lat, exp_lat)
+    le, la = geometry.sql_lonlat_exprs("id")
+    vals = ",".join(f"({int(i)}::BIGINT)" for i in ids)
+    got = duckdb.sql(
+        f"SELECT {le} AS lon, {la} AS lat FROM (VALUES {vals}) t(id) ORDER BY id"
+    ).fetchnumpy()
+    assert np.array_equal(got["lon"], lon)
+    assert np.array_equal(got["lat"], lat)
+
+
 @pytest.mark.parametrize("res", [1, 3, 6])
 def test_cell_id_sql_bit_identical(res):
     ids = np.arange(5000)

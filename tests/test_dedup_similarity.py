@@ -47,6 +47,45 @@ def test_simhash_hamming_zero_for_exact_dups(spark):
     assert (0, 2) not in got and (1, 2) not in got
 
 
+def test_simhash_banding_pigeonhole():
+    """The 6-block/3-combo multi-index parameters: any two signatures
+    within Hamming distance 3 share at least one fully-intact 3-block
+    combination (candidate generation is EXACT, not probabilistic)."""
+    from itertools import combinations
+
+    from covertree_spark.operators.dedup import _SIM_BLOCK_BITS, _SIM_BLOCK_OFFS
+
+    assert sum(_SIM_BLOCK_BITS) == 64
+    # blocks must tile [0, 64) disjointly
+    covered = set()
+    for off, w in zip(_SIM_BLOCK_OFFS, _SIM_BLOCK_BITS):
+        bits = set(range(off, off + w))
+        assert not (covered & bits)
+        covered |= bits
+    assert covered == set(range(64))
+
+    rng = np.random.default_rng(7)
+    combos = list(combinations(range(6), 3))
+    for _ in range(500):
+        a = np.uint64(rng.integers(0, 2**63))
+        flips = rng.choice(64, size=rng.integers(0, 4), replace=False)
+        b = a
+        for f in flips:
+            b = np.uint64(b) ^ (np.uint64(1) << np.uint64(f))
+        blocks_a = [
+            (int(a) >> off) & ((1 << w) - 1)
+            for off, w in zip(_SIM_BLOCK_OFFS, _SIM_BLOCK_BITS)
+        ]
+        blocks_b = [
+            (int(b) >> off) & ((1 << w) - 1)
+            for off, w in zip(_SIM_BLOCK_OFFS, _SIM_BLOCK_BITS)
+        ]
+        shared = any(
+            all(blocks_a[i] == blocks_b[i] for i in c) for c in combos
+        )
+        assert shared, f"pair at hamming {len(flips)} missed by banding"
+
+
 def test_fingerprints_shared_for_shifted_dup(spark):
     base = "one two three four five six seven eight nine ten eleven twelve"
     docs = spark.createDataFrame(
@@ -87,9 +126,36 @@ def test_cosine_knn_exact_matches_brute(spark):
     )
     tree_based = sorted(
         (r["src"], r["rank"], r["dst"])
-        for r in similarity.cosine_knn_exact(embs, 5).collect()
+        for r in similarity.cosine_knn_exact(embs, 5, d=64).collect()
     )
     assert tree_based == exact
+
+
+def test_emb_neardup_ball_join_matches_brute(spark):
+    """The catalog's cosine near-dup (epsilon-ball over normalized
+    vectors, r = sqrt(2-2tau)) equals the quadratic brute plan, and
+    the data clears the threshold by a margin that makes the two
+    numerically different compute paths (normalize+GEMM vs raw dot)
+    agree exactly."""
+    from covertree_spark.queries import COS_TAU, EMB_D
+
+    embs = src.load_table(spark, SF_SMALL, "embeddings")
+    # clearance: no cosine within 1e-7 of tau
+    pdf = embs.select("embedding").toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = Xn @ Xn.T
+    np.fill_diagonal(cos, -1.0)
+    gap = np.abs(cos - COS_TAU).min()
+    assert gap > 1e-7, f"cosine within {gap} of tau {COS_TAU}"
+
+    brute = {(r["a"], r["b"]) for r in dedup.embedding_neardup_brute(embs, COS_TAU).collect()}
+    pts = similarity.unit_embedding_points(embs, fine_k=64, coarse_k=8)
+    got = {
+        (r["a"], r["b"])
+        for r in dedup.embedding_neardup_pairs(pts, COS_TAU, d=EMB_D).collect()
+    }
+    assert brute and got == brute
 
 
 def test_index_roundtrip_query_parity(spark, tmp_path):

@@ -130,6 +130,92 @@ def test_threshold_clearance(spark, geo_points, emb_points):
         assert gap > 1e-9, f"distance within {gap} of radius {r}"
 
 
+def test_knn_distinct_query_table(spark, geo_points, geo_numpy):
+    """Non-self-query kNN: a separate query table against the build
+    side — first-class in the reference (systolic query blocks vs the
+    local tree, src/dist_point_vector.cpp:250-273). No self-exclusion:
+    a query that coincides with a build point finds it at dist 0."""
+    X, ids = geo_numpy
+    k = 7
+    qdf = geo_points.filter(F.col("id") % 5 == 0).select("id", "vec")
+    got = knn_self_join(geo_points, k=k, d=3, queries=qdf)
+    rows = sorted(
+        (r["src"], r["rank"], r["dst"])
+        for r in got.select("src", "rank", "dst").collect()
+    )
+    qmask = ids % 5 == 0
+    eq, ep, ed = brute_knn(X, X[qmask], k)  # no exclusion
+    qids = ids[qmask]
+    expected = []
+    rank = {}
+    for q, p in zip(eq, ep):
+        rank[q] = rank.get(q, 0) + 1
+        expected.append((int(qids[q]), rank[q], int(ids[p])))
+    assert rows == sorted(expected)
+
+
+def test_knn_over_index_matches_transient(spark, geo_points, tmp_path):
+    """The persisted-index query path (build_trees -> parquet ->
+    knn_over_index with stats FROM THE INDEX) answers identically to
+    the transient knn_self_join — the resumable-index claim."""
+    from covertree_spark.operators.index import build_trees, stats_from_trees
+    from covertree_spark.operators.knn import knn_over_index
+
+    k = 10
+    path = str(tmp_path / "trees")
+    build_trees(geo_points, d=3).write.parquet(path)
+    trees = spark.read.parquet(path)
+    got = knn_over_index(
+        trees, geo_points.select("id", "vec"), k=k, d=3,
+        stats=stats_from_trees(trees),
+    )
+    exp = knn_self_join(geo_points, k=k, d=3)
+    tup = lambda df: sorted(  # noqa: E731
+        (r["src"], r["rank"], r["dst"])
+        for r in df.select("src", "rank", "dst").collect()
+    )
+    assert tup(got) == tup(exp)
+
+
+def test_edge_sink_conventions(spark, geo_points, tmp_path):
+    """Edge sink: parquet + summary with the reference's self-loop
+    counting convention (dist_graph.h:20-26), plus the ASCII export
+    (dist_graph.cpp:23-75) — deterministic and re-readable."""
+    from covertree_spark.operators import edges as eg
+
+    e = ball_self_join(geo_points, GEO_R, d=3)
+    nv = geo_points.count()
+    path = str(tmp_path / "edges")
+    summary = eg.write_edges(e, path, num_vertices=nv)
+    back, summary2 = eg.read_edges(spark, path)
+    assert summary == summary2
+    assert summary["num_edges_with_self_loops"] == summary["num_edges"] + nv
+    assert back.count() == summary["num_edges"]
+    txt = str(tmp_path / "edges.txt")
+    eg.write_edge_file(e, nv, txt)
+    lines = open(txt).read().splitlines()
+    hdr = lines[0].split()
+    assert hdr[0] == "%" and int(hdr[3]) == len(lines) - 1
+    assert int(hdr[3]) == summary["num_edges_with_self_loops"]
+    body = [tuple(map(int, ln.split())) for ln in lines[1:]]
+    assert body == sorted(body)  # deterministic order
+    assert sum(1 for s, t in body if s == t) == nv
+
+
+def test_lonlat_spark_sql_big_ids(spark):
+    """Spark SQL evaluates the shared lon/lat fragment bit-identically
+    to numpy far beyond the naive int64 overflow point (~3.47e9)."""
+    from covertree_spark.core import geometry
+
+    ids = [0, 1, 499, 2**31, 2**31 + 7, 2**35, 10**12, 2**40]
+    lon_np, lat_np = geometry.lonlat_from_id(np.asarray(ids))
+    le, la = geometry.sql_lonlat_exprs("id")
+    df = spark.createDataFrame([(i,) for i in ids], "id bigint")
+    rows = df.selectExpr(f"{le} AS lon", f"{la} AS lat").collect()
+    assert [r["lon"] for r in rows] == lon_np.tolist()
+    assert [r["lat"] for r in rows] == lat_np.tolist()
+
+
 def test_hot_cell_split_preserves_results(spark):
     df = src.doc_points_lonlat(spark, SF_TINY)
     df = pt.assign_cells(df, res=1)  # tiny res => hot cells guaranteed
