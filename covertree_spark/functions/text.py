@@ -107,6 +107,24 @@ _HASH_BASE = 257
 _MH_PRIME31 = (1 << 31) - 1  # Mersenne prime: minhash-domain reduction
 
 
+def mod_mersenne31(x: np.ndarray) -> np.ndarray:
+    """x mod (2^31 - 1) for uint64 x, via Mersenne folding (2^31 = 1
+    mod p): shift/AND/add only — numpy's 64-bit integer ``%`` has no
+    SIMD path and is ~30x slower on large arrays."""
+    p = np.uint64(_MH_PRIME31)
+    m = np.uint64(_MH_PRIME31)
+    y = (x & m) + ((x >> np.uint64(31)) & m) + (x >> np.uint64(62))
+    y = (y & m) + (y >> np.uint64(31))
+    return np.where(y >= p, y - p, y)
+
+
+def mod_mersenne61(x: np.ndarray) -> np.ndarray:
+    """x mod (2^61 - 1) for x < 2^63 (one fold + conditional subtract)."""
+    p = np.uint64((1 << 61) - 1)
+    y = (x & p) + (x >> np.uint64(61))
+    return np.where(y >= p, y - p, y)
+
+
 def hash_tokens(tokens: np.ndarray) -> np.ndarray:
     """Vectorized polynomial hash of a string array -> uint64.
 

@@ -34,7 +34,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import _MH_PRIME31, hash_tokens, shingle_hashes_flat
+from ..functions.text import (
+    hash_tokens,
+    mod_mersenne31,
+    mod_mersenne61,
+    shingle_hashes_flat,
+)
 from .ball_join import ball_self_join
 
 
@@ -144,6 +149,8 @@ def _mh_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     a < 2^31 — every product is < 2^62, so uint64 arithmetic computes
     the mod-p value EXACTLY (round-1 ADVICE: the old 61-bit inputs
     silently wrapped mod 2^64 before the reduction)."""
+    from ..functions.text import _MH_PRIME31
+
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MH_PRIME31, size=num_perm, dtype=np.uint64)
     b = rng.integers(0, _MH_PRIME, size=num_perm, dtype=np.uint64)
@@ -162,8 +169,6 @@ def minhash_signatures(
     OMITTED (same convention as the JVM shingles_df path, so LSH and
     exact verification agree on participation)."""
     a, b = _mh_params(num_perm, seed)
-    p61 = np.uint64(_MH_PRIME)
-    p31 = np.uint64(_MH_PRIME31)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -181,10 +186,18 @@ def minhash_signatures(
             ds, hs = doc_of[order], sh[order]
             keep = np.r_[True, (ds[1:] != ds[:-1]) | (hs[1:] != hs[:-1])]
             ds, hs = ds[keep], hs[keep]
-            hp = hs % p31  # 31-bit domain -> exact mod-p61 products
-            vals = (a[None, :] * hp[:, None] + b[None, :]) % p61  # (S, P)
+            # 31-bit domain -> a*h+b < 2^63, exact; Mersenne folds
+            # instead of uint64 % (scalar-slow in numpy), and ONE
+            # PERMUTATION AT A TIME: an (S, 64) value matrix means
+            # ~130MB temporaries per elementwise op — catastrophically
+            # memory-bound on this host class — while per-perm (S,)
+            # vectors stay ~2MB (cache-resident)
+            hp = mod_mersenne31(hs)
             starts = np.r_[0, np.flatnonzero(ds[1:] != ds[:-1]) + 1]
-            sig = np.minimum.reduceat(vals, starts, axis=0).astype(np.int64)
+            sig = np.empty((len(starts), len(a)), dtype=np.int64)
+            for j in range(len(a)):
+                v = mod_mersenne61(a[j] * hp + b[j])
+                sig[:, j] = np.minimum.reduceat(v, starts)
             uniq_docs = ds[starts]
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].to_numpy()[uniq_docs], "sig": list(sig)}
@@ -317,33 +330,62 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Pairs with Hamming(sim_a, sim_b) <= max_hamming. EXACT for
     max_hamming <= 3: candidates via 20-way 3-block multi-index
     banding (see _SIM_BLOCK_* notes), verified with bit_count — all
-    JVM-side, one equi-join shuffle on the ~33-bit band key."""
+    JVM-side.
+
+    The banded join runs over DISTINCT SIGNATURES, not documents:
+    web-scale corpora are duplicate-heavy, so identical-signature
+    groups would otherwise meet themselves in every one of the 20
+    bands (a quadratic intra-bucket blowup the banding cannot prune).
+    Qualifying signature pairs are expanded back to document pairs at
+    the end — that expansion is exactly output-sized. Hamming depends
+    only on the signatures, so the pair set is identical."""
     if max_hamming > 3:
         raise ValueError("banding guarantees exactness only for max_hamming <= 3")
-    sigs = simhash_signatures(docs)
-    banded = sigs.select(
-        "doc_id", "sim", F.explode(F.array(*_sim_band_keys(F.col("sim")))).alias("bkey")
+    from ..plans.session import mark_releasable
+
+    sigs = mark_releasable(simhash_signatures(docs).persist())
+    usims = sigs.select("sim").distinct()
+    banded = usims.select(
+        "sim", F.explode(F.array(*_sim_band_keys(F.col("sim")))).alias("bkey")
     )
-    cand = (
+    simpairs = (
         banded.alias("x")
         .join(
             banded.alias("y"),
             (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.sim") < F.col("y.sim")),
+        )
+        .select(F.col("x.sim").alias("sa"), F.col("y.sim").alias("sb"))
+        .distinct()
+        .withColumn("ham", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("ham") <= max_hamming)
+    )
+    # cross-group document pairs (ham >= 1): expand each qualifying
+    # signature pair through its member documents
+    cross = (
+        simpairs.join(sigs.select(F.col("sim").alias("sa"), F.col("doc_id").alias("da")), "sa")
+        .join(sigs.select(F.col("sim").alias("sb"), F.col("doc_id").alias("db")), "sb")
+        .select(
+            F.least("da", "db").alias("a"),
+            F.greatest("da", "db").alias("b"),
+            "ham",
+        )
+    )
+    # within-group pairs (identical signatures, ham = 0)
+    same = (
+        sigs.alias("x")
+        .join(
+            sigs.alias("y"),
+            (F.col("x.sim") == F.col("y.sim"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(
             F.col("x.doc_id").alias("a"),
             F.col("y.doc_id").alias("b"),
-            F.col("x.sim").alias("sa"),
-            F.col("y.sim").alias("sb"),
+            F.lit(0).cast("int").alias("ham"),
         )
-        .distinct()
     )
-    return (
-        cand.withColumn("ham", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
-        .filter(F.col("ham") <= max_hamming)
-        .select("a", "b", "ham")
-    )
+    return cross.unionByName(same)
 
 
 # ---- embedding cosine near-dup ----------------------------------------------
