@@ -40,7 +40,7 @@ def ball_self_join(
     d: int,
     cover: float = ct.DEFAULT_COVER,
     leaf_size: int = ct.DEFAULT_LEAF_SIZE,
-    strategy: str = "range",
+    strategy: str = "hash_shuffle",
     cell_col: str = "cell",
     fine_col: str | None = None,
     brute_cutoff: int = 1024,

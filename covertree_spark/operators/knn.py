@@ -47,7 +47,7 @@ def knn_self_join(
     d: int,
     cover: float = ct.DEFAULT_COVER,
     leaf_size: int = ct.DEFAULT_LEAF_SIZE,
-    strategy: str = "range",
+    strategy: str = "hash_shuffle",
     cell_col: str = "cell",
     fine_col: str | None = None,
     queries: DataFrame | None = None,
@@ -78,13 +78,15 @@ def knn_self_join(
     self_join = queries is None
     need = k + 1 if self_join else k  # +1 absorbs the self-hit
     phase1 = make_phase1(stats_bc, need)
-    # persist candidates: the range partitioner's sampling pass would
-    # otherwise recompute phase 1 a second time
-    candidates = mark_releasable(
-        qdf.select("id", "vec")
-        .mapInPandas(counted_stream(phase1), schema=CAND_SCHEMA)
-        .persist()
+    # no persist: with the hash_shuffle strategy phase 1 streams
+    # straight into the ONE explicit shuffle (a range partitioner
+    # would sample the input in an extra job, forcing a ~row-sized
+    # persist of the candidate set)
+    candidates = qdf.select("id", "vec").mapInPandas(
+        counted_stream(phase1), schema=CAND_SCHEMA
     )
+    if strategy == "range":
+        candidates = mark_releasable(candidates.persist())
 
     home = points.select(F.col(cell_col).alias("cell"), "id", "vec")
     tagged_home = home.select(
@@ -150,7 +152,13 @@ def _merge_topk(parts: DataFrame, k: int) -> DataFrame:
 
     Single-candidate-cell queries: the per-cell local rank IS the
     global rank (no other cell can contribute) — they skip the merge
-    shuffle entirely; only multi-cell queries pay the window."""
+    shuffle entirely; only multi-cell queries pay the window.
+
+    ``parts`` is persisted first: the single/multi split reads it from
+    TWO branches of a union, and without a persist the reduce-side
+    phase-2 kernels execute twice (caught by the dist_comps
+    accumulator doubling, not by wall-clock eyeballing)."""
+    parts = mark_releasable(parts.persist())
     single = parts.filter(F.col("ncand") <= 1).select(
         "qid", "nid", "dist", F.col("lrank").alias("rank")
     )
@@ -315,10 +323,10 @@ def knn_over_index(
     stats_bc = spark.sparkContext.broadcast(stats)
     need = k + 1 if self_join else k
     phase1 = make_phase1(stats_bc, need)
-    candidates = mark_releasable(
-        queries.select("id", "vec")
-        .mapInPandas(counted_stream(phase1), schema=CAND_SCHEMA)
-        .persist()
+    # cogroup's groupby is a hash shuffle (no sampling pass), so the
+    # candidate stream flows straight in — no persist needed
+    candidates = queries.select("id", "vec").mapInPandas(
+        counted_stream(phase1), schema=CAND_SCHEMA
     )
 
     from .index import tree_from_row

@@ -58,14 +58,24 @@ def grouped_apply(
 
         return df.mapInPandas(counted_stream(stream_aligned), schema=schema)
 
-    if strategy != "range":
+    if strategy not in ("range", "hash_shuffle"):
         raise ValueError(f"unknown strategy {strategy!r}")
 
     def stream_groups(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield from _stream_groups(batches, key, func)
 
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    shuffled = df.repartitionByRange(int(parts), F.col(key)).sortWithinPartitions(key)
+    if strategy == "hash_shuffle":
+        # hash-partitioned explicit shuffle: same per-group co-location
+        # guarantee as range, but NO range-boundary sampling job — the
+        # range partitioner evaluates the input an extra time to sample
+        # split points, which forces either a persist or a recompute of
+        # upstream UDF stages (phase-1 candidates, ghost dilation).
+        # Use for transient query-side shuffles; keep "range" for
+        # persisted LAYOUTS where contiguous cell ranges aid locality.
+        shuffled = df.repartition(int(parts), F.col(key)).sortWithinPartitions(key)
+    else:
+        shuffled = df.repartitionByRange(int(parts), F.col(key)).sortWithinPartitions(key)
     return shuffled.mapInPandas(counted_stream(stream_groups), schema=schema)
 
 

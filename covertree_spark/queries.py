@@ -414,6 +414,30 @@ def sql_knn_join_meta():
     )
 
 
+def q_geo_degree_hist(spark, sf_dir):
+    """Per-vertex neighbor counts of the epsilon-graph — the
+    reference's CSR degree structure (dist_graph.h:16-19) and the
+    edge-count reduce (A1) as one oracle-checked aggregate over the
+    ball join."""
+    from .operators.edges import num_edges_invariant
+
+    pts, stats = _geo_points(spark, sf_dir)
+    edges = ball_self_join(pts, GEO_BALL_R, d=3, stats=stats)
+    return num_edges_invariant(edges).select(
+        "src", F.col("degree").cast("bigint").alias("degree")
+    )
+
+
+def sql_geo_degree_hist():
+    return (
+        _PTS_CTE
+        + " SELECT a.id AS src, count(*) AS degree FROM xyz a JOIN xyz b "
+        "ON a.id <> b.id "
+        "WHERE sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z)) "
+        f"<= {GEO_BALL_R!r} GROUP BY a.id"
+    )
+
+
 def q_knn_over_index(spark, sf_dir):
     """kNN answered from the PERSISTED cover-tree index: build_trees
     output is written to parquet once per session, read back, and
@@ -436,6 +460,33 @@ def q_knn_over_index(spark, sf_dir):
         trees, pts.select("id", "vec"), k=KNN_K, d=3, stats=stats_from_trees(trees)
     )
     return out.select("src", "dst", F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_events_rollup(spark, sf_dir):
+    """Hourly rollup over the events table: count + exact distinct
+    users per (hour bucket, event_type). Timestamp bucketing + distinct
+    aggregation — the time-series surface Spark gives the engine for
+    free (SURVEY §2.5 notes these as absent in the reference)."""
+    ev = src.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("bucket_s"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
+def sql_events_rollup():
+    return (
+        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s, "
+        "event_type, count(*) AS cnt, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS users "
+        "FROM events GROUP BY 1, 2"
+    )
 
 
 # ---- rows-only (non-SQL-expressible) ops --------------------------------------
@@ -485,6 +536,8 @@ def catalog():
         "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard()),
         "knn_join_meta": (q_knn_join_meta, sql_knn_join_meta()),
         "knn_over_index": (q_knn_over_index, sql_geo_knn()),
+        "geo_degree_hist": (q_geo_degree_hist, sql_geo_degree_hist()),
+        "events_rollup": (q_events_rollup, sql_events_rollup()),
         "minhash_neardup": (q_minhash_neardup, None),
         "simhash_neardup": (q_simhash_neardup, None),
         "doc_fingerprints": (q_doc_fingerprints, None),

@@ -174,10 +174,25 @@ print(json.dumps(out))
     }
 
 
+def _min_merge(runs: list[dict]) -> dict:
+    """min wall time per phase across runs (same code, same input —
+    min-of-N is the standard noise filter on a multi-tenant host);
+    row counts/checksums must agree across every run."""
+    out = dict(runs[0])
+    for r in runs[1:]:
+        assert r["knn_rows"] == out["knn_rows"]
+        assert r["knn_checksum"] == out["knn_checksum"]
+        for k in ("t_build", "t_knn", "t_persist"):
+            out[k] = min(out[k], r[k])
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=3_000_000)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--runs", type=int, default=1,
+                    help="alternating lo/hi repetitions; min per level")
     args = ap.parse_args()
     n = 200_000 if args.quick else args.n
 
@@ -187,8 +202,12 @@ def main() -> None:
     os.makedirs(out, exist_ok=True)
 
     ceil = host_ceiling()
-    lo = run_level(8, n, pages_path, out)
-    hi = run_level(32, n, pages_path, out)
+    los, his = [], []
+    for _ in range(args.runs):
+        los.append(run_level(8, n, pages_path, out))
+        his.append(run_level(32, n, pages_path, out))
+    lo = _min_merge(los)
+    hi = _min_merge(his)
     assert lo["knn_rows"] == hi["knn_rows"], "parallelism variance in rows!"
     assert lo["knn_checksum"] == hi["knn_checksum"], "parallelism variance in values!"
 
@@ -232,8 +251,11 @@ executors, on both tree construction and batched kNN". No real cluster
 exists in this sandbox, so the SAME job ran at local[8] (N) and
 local[32] (4N) on identical input: {n:,} deterministic clustered blob
 points, d=32 (the reference's own benchmark shape — ptgen.py
-make_blobs with low intrinsic dimension). min-of-3 per phase; BLAS
-pinned to 1 thread per worker.
+make_blobs with low intrinsic dimension). Levels run ALTERNATING
+(8,32,8,32,...), min per phase per level over all repetitions —
+the standard noise filter on this multi-tenant host (run-to-run
+swings reach 2x from external tenants); BLAS pinned to 1 thread
+per worker.
 
 ## Host parallel-scaling ceiling (no Spark)
 
