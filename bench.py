@@ -2,11 +2,26 @@
 """Headline benchmark: runs the engine's flagship queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": ..., "value": N, "unit": "q/s", "queries": {...}, "sf": ...}
+
+Protocol (round-2 VERDICT #1/#3/#8): every query runs TWICE per
+invocation — the first (cold) run pays plan compilation + python-worker
+spin-up, the second (warm) run is the steady-state cost a long-lived
+deployment sees. ``queries`` carries the WARM times (min over runs);
+``cold`` carries the first-run times; the headline q/s is computed from
+the warm geo_knn. The reference itself times per-method runs and
+max-reduces across ranks (timer.cpp:40-44) — min-of-N over repeated
+runs is the local-mode analog on a noisy multi-tenant host.
 
 The headline metric is exact-kNN throughput (queries/sec, k=10) — the
 BASELINE.json target. Scaling-efficiency evidence (local[8] vs
 local[32]) lives in scaling.py -> BENCH/BASELINE.md.
+
+Per query the report also carries the reference's efficiency metrics
+(include/point_vector.h:11, dist_point_vector.h:23-25): ``dist_comps``
+(metric evaluations) and ``udf_wall_s`` (total wall seconds inside
+pandas-UDF kernels across all tasks — the comp side; warm wall time x
+cores minus it approximates shuffle + JVM + scheduling).
 """
 
 from __future__ import annotations
@@ -24,6 +39,7 @@ from covertree_spark.plans.session import get_spark, release_intermediates  # no
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
 BENCH_QUERIES = [
     "geo_knn",
@@ -54,33 +70,48 @@ def main() -> None:
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     cat["tile_assign"][0](spark, SF_DIR).count()
 
-    # prepared layouts (cell assignment + persisted points + broadcast
-    # stats) are the amortized ingest/build phase — timed separately
-    # from queries, like the reference's build-vs-query split
+    # prepared layouts (cell assignment + aligned persisted points +
+    # broadcast stats) AND the one-time warehouse index build are the
+    # amortized ingest/build phase — timed separately from queries,
+    # like the reference's build-vs-query split. knn_over_index timing
+    # below therefore measures QUERY cost only (round-2 VERDICT #8).
     prep: dict[str, float] = {}
     for kind, fn in (("geo", Q._geo_points), ("emb", Q._emb_points),
-                     ("unit", Q._unit_points)):
+                     ("unit", Q._unit_points), ("geo_index", Q._geo_index)):
         t0 = time.time()
         fn(spark, SF_DIR)
         prep[kind] = round(time.time() - t0, 3)
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     counts: dict[str, int] = {}
     dist_comps: dict[str, int] = {}
+    udf_wall: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn, _sql = cat[name]
-        # fresh dist_comps accumulator per query (reference efficiency
-        # metric, include/point_vector.h:11 via rgraph.py:168-176);
-        # install BEFORE plan build so UDF closures capture it
-        acc = M.install(spark)
-        snap = M.driver_snapshot()
-        t0 = time.time()
-        counts[name] = fn(spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
-        dist_comps[name] = int(acc.value) + M.driver_delta(snap)
-        release_intermediates()  # drop operator-persisted intermediates
+        best = float("inf")
+        for rep in range(max(2, RUNS)):
+            # fresh accumulators per run (reference efficiency metric,
+            # include/point_vector.h:11 via rgraph.py:168-176);
+            # install BEFORE plan build so UDF closures capture them
+            meters = M.install(spark)
+            snap = M.driver_snapshot()
+            t0 = time.time()
+            counts[name] = fn(spark, SF_DIR).count()
+            dt = time.time() - t0
+            release_intermediates()  # drop operator-persisted intermediates
+            if rep == 0:
+                cold[name] = round(dt, 3)
+                # dist_comps/udf_wall from the cold run: identical
+                # plan, and warm-run accumulators double-count nothing
+                dist_comps[name] = int(meters.value) + M.driver_delta(snap)
+                udf_wall[name] = round(meters.udf_wall, 3)
+            else:
+                best = min(best, dt)
+        timings[name] = round(best, 3)
 
-    # headline: exact geo kNN queries/sec (every doc row is a query)
+    # headline: exact geo kNN queries/sec (every doc row is a query),
+    # steady-state (warm) — what a long-lived cluster deployment sees
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     qps = n_docs / timings["geo_knn"] if timings["geo_knn"] > 0 else 0.0
 
@@ -89,11 +120,14 @@ def main() -> None:
             {
                 "metric": "exact_knn_queries_per_sec_k10",
                 "value": round(qps, 2),
-                "unit": "sec",
+                "unit": "q/s",
                 "queries": timings,
+                "cold": cold,
                 "prep": prep,
                 "counts": counts,
                 "dist_comps": dist_comps,
+                "udf_wall_s": udf_wall,
+                "runs_per_query": max(2, RUNS),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": CPUS,
             }

@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..core import covertree as ct
 from ..plans.grouped import grouped_apply
@@ -40,7 +41,7 @@ def ball_self_join(
     d: int,
     cover: float = ct.DEFAULT_COVER,
     leaf_size: int = ct.DEFAULT_LEAF_SIZE,
-    strategy: str = "hash_shuffle",
+    strategy: str = "cogroup",
     cell_col: str = "cell",
     fine_col: str | None = None,
     brute_cutoff: int = 1024,
@@ -48,6 +49,11 @@ def ball_self_join(
 ) -> DataFrame:
     """points must carry (id, vec, cell). Returns (src, dst, dist),
     src != dst, both directions.
+
+    ``strategy``: "cogroup" (default; A/B'd fastest at sf0.1 — 0.9-1.1s
+    vs 1.0-1.1 hash_shuffle, 1.45-1.55 range) shuffles ONLY ghost rows
+    against the aligned home layout; the others push home+ghosts
+    through one explicit repartition.
 
     Caching contract: with ``stats=None`` the input is persisted and
     registered releasable (see knn_self_join docstring); passing
@@ -58,19 +64,9 @@ def ball_self_join(
         points = mark_releasable(points.persist())
         stats = cell_stats(points, d, cell_col, fine_col)
     stats_bc = spark.sparkContext.broadcast(stats)
-    assigned = replicate_ghosts(points, stats_bc, radius, cell_col)
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    def per_cell(_cell, pdf: pd.DataFrame) -> pd.DataFrame:
-        home = pdf[~pdf["is_ghost"]]
-        if home.empty:
-            return pd.DataFrame({"src": [], "dst": [], "dist": []}).astype(
-                {"src": "int64", "dst": "int64", "dist": "float64"}
-            )
-        H = vec_matrix(home)
-        hid = home["id"].to_numpy()
-        Q = vec_matrix(pdf)
-        qid = pdf["id"].to_numpy()
+    def _edges_kernel(H, hid, Q, qid) -> pd.DataFrame:
         if len(H) <= brute_cutoff:
             # small build side: a BLAS matrix pass beats tree descent
             # (and in high-d with r near the distance concentration the
@@ -85,6 +81,55 @@ def ball_self_join(
         dst = hid[pi]
         keep = src != dst
         return pd.DataFrame({"src": src[keep], "dst": dst[keep], "dist": di[keep]})
+
+    if strategy == "cogroup":
+        # ALIGNED HOME SIDE (see knn_self_join): only GHOST rows move
+        # through the shuffle; homes are read in place from the
+        # persisted hash(cell)-partitioned layout (Exchange elided).
+        # Ghost volume is boundary-sized (O(surface), not O(volume)),
+        # so at 10^12 rows the per-query shuffle shrinks from the full
+        # table to the replication halo.
+        from ..plans.metrics import counted_fn
+
+        ghosts = replicate_ghosts(
+            points, stats_bc, radius, cell_col, ghosts_only=True
+        )
+        home_g = points.select(F.col(cell_col).alias("cell"), "id", "vec")
+
+        def per_cell_cg(ghost_pdf: pd.DataFrame, home_pdf: pd.DataFrame) -> pd.DataFrame:
+            if home_pdf.empty:
+                return pd.DataFrame({"src": [], "dst": [], "dist": []}).astype(
+                    {"src": "int64", "dst": "int64", "dist": "float64"}
+                )
+            H = vec_matrix(home_pdf)
+            hid = home_pdf["id"].to_numpy()
+            if ghost_pdf.empty:
+                Q, qid = H, hid
+            else:
+                G = vec_matrix(ghost_pdf)
+                Q = np.concatenate([H, G])
+                qid = np.concatenate([hid, ghost_pdf["id"].to_numpy()])
+            return _edges_kernel(H, hid, Q, qid)
+
+        return (
+            ghosts.groupby("cell")
+            .cogroup(home_g.groupby("cell"))
+            .applyInPandas(counted_fn(per_cell_cg), schema=EDGE_SCHEMA)
+        )
+
+    assigned = replicate_ghosts(points, stats_bc, radius, cell_col)
+
+    def per_cell(_cell, pdf: pd.DataFrame) -> pd.DataFrame:
+        home = pdf[~pdf["is_ghost"]]
+        if home.empty:
+            return pd.DataFrame({"src": [], "dst": [], "dist": []}).astype(
+                {"src": "int64", "dst": "int64", "dist": "float64"}
+            )
+        H = vec_matrix(home)
+        hid = home["id"].to_numpy()
+        Q = vec_matrix(pdf)
+        qid = pdf["id"].to_numpy()
+        return _edges_kernel(H, hid, Q, qid)
 
     return grouped_apply(assigned, "cell", per_cell, EDGE_SCHEMA, strategy=strategy,
                          num_partitions=nparts)

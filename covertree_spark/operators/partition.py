@@ -326,13 +326,18 @@ def replicate_ghosts(
     stats_bc,
     radius: float,
     cell_col: str = "cell",
+    ghosts_only: bool = False,
 ) -> DataFrame:
     """Boundary replication: emit (cell, id, vec, is_ghost) rows — the
     home row plus one ghost row per foreign cell whose lower bound
     <= radius. Exactness: if d(p,q) <= r and q is home in cell c, then
     lb_c(p) <= d(p,q) <= r, so p is replicated into c (reference ghost
     guarantee, dist_point_vector.cpp:583-596, with the tighter
-    centroid/circumradius bound)."""
+    centroid/circumradius bound).
+
+    ``ghosts_only=True`` suppresses the home rows — the cogroup ball
+    join reads homes from the already-partitioned input instead of
+    pushing every home byte back through the shuffle."""
 
     def dilate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         st: CellStats = stats_bc.value
@@ -362,14 +367,17 @@ def replicate_ghosts(
             thr = radius * (1.0 + 1e-9) + st.circumradii
             cand = (d2 <= (thr * thr)[None, :]) & (coarse[None, :] != home[:, None])
             pi, ej = np.nonzero(cand)
-            out_home = pd.DataFrame(
-                {
-                    "cell": home.astype(np.int64),
-                    "id": pdf["id"].to_numpy(),
-                    "vec": pdf["vec"].to_numpy(),
-                    "is_ghost": np.zeros(n, dtype=bool),
-                }
-            )
+            if ghosts_only:
+                out_home = None
+            else:
+                out_home = pd.DataFrame(
+                    {
+                        "cell": home.astype(np.int64),
+                        "id": pdf["id"].to_numpy(),
+                        "vec": pdf["vec"].to_numpy(),
+                        "is_ghost": np.zeros(n, dtype=bool),
+                    }
+                )
             if len(pi):
                 # dedupe (point, partition-cell): several fine entries
                 # may map to the same coarse cell
@@ -385,8 +393,11 @@ def replicate_ghosts(
                         "is_ghost": np.ones(len(pi2), dtype=bool),
                     }
                 )
-                yield pd.concat([out_home, out_ghost], ignore_index=True)
-            else:
+                if out_home is None:
+                    yield out_ghost
+                else:
+                    yield pd.concat([out_home, out_ghost], ignore_index=True)
+            elif out_home is not None:
                 yield out_home
 
     schema = "cell bigint, id bigint, vec array<double>, is_ghost boolean"

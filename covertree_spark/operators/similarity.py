@@ -98,7 +98,8 @@ def normalized_points(embs: DataFrame) -> DataFrame:
 
 
 def unit_embedding_points(
-    embs: DataFrame, fine_k: int = 64, coarse_k: int = 8
+    embs: DataFrame, fine_k: int = 64, coarse_k: int = 8,
+    sample_size: int = 4096,
 ) -> DataFrame:
     """(id, vec, cell, cell_fine) over L2-normalized embeddings: ONE
     Voronoi sample pass (fine centers), coarse shuffle groups derived
@@ -106,7 +107,7 @@ def unit_embedding_points(
     order == L2 order on the unit sphere (||a-b||^2 = 2 - 2cos), so
     every cosine query downstream is a plain metric query."""
     unit = normalized_points(embs)
-    fine_centers = voronoi_centers(unit, k=fine_k)
+    fine_centers = voronoi_centers(unit, k=fine_k, sample_size=sample_size)
     coarse_of = coarse_group_of(fine_centers, coarse_k)
     return assign_two_level(unit, fine_centers, coarse_of)
 

@@ -1,17 +1,27 @@
-"""dist_comps instrumentation — the reference's efficiency metric.
+"""dist_comps + in-UDF wall-time instrumentation — the reference's
+efficiency metrics.
 
 The reference counts every metric evaluation in a global counter
 (/root/reference/include/point_vector.h:11) and reports it per run
-(/root/reference/rgraph.py:131-176); without it, pruning regressions
-are invisible. Here the counter lives in
-``covertree_spark.core.covertree.DIST_COMPS`` (a per-process int
-bumped by every distance kernel); this module bridges it to a Spark
-accumulator: operators wrap their pandas-UDF iterator functions with
-``counted_stream`` so each task adds its delta on completion, and
-bench.py installs a fresh accumulator per query to emit
-``dist_comps`` in BENCH_r{N}.json.
+(/root/reference/rgraph.py:131-176), and splits wall time into
+comp/comm/idle per phase (/root/reference/include/dist_point_vector.h:23-25,
+rgraph.py:132-139); without these, pruning and shuffle regressions are
+invisible. Here:
 
-The accumulator is captured in the UDF closure at PLAN BUILD time, so
+  * ``DIST_COMPS`` — a per-process int in ``core.covertree`` bumped by
+    every distance kernel, bridged to a Spark accumulator.
+  * UDF wall seconds — total wall time spent INSIDE pandas-UDF iterator
+    bodies (the engine's compute), a second accumulator. The
+    difference between a query's total wall time x cores and this
+    number is shuffle + scheduling + JVM time — the comp/comm split.
+
+Operators wrap their pandas-UDF iterator functions with
+``counted_stream`` (mapInPandas) or ``counted_fn`` (applyInPandas /
+cogroup kernels) so each task adds its deltas on completion; bench.py
+installs fresh accumulators per query to emit ``dist_comps`` and
+``udf_wall_s`` in BENCH_r{N}.json.
+
+The accumulators are captured in UDF closures at PLAN BUILD time, so
 ``install`` must run before the operator function is called. Driver-
 side distance work (Voronoi sampling, hierarchy derivation) is
 counted separately via ``driver_snapshot``/``driver_delta``.
@@ -19,39 +29,101 @@ counted separately via ``driver_snapshot``/``driver_delta``.
 
 from __future__ import annotations
 
-_CURRENT = None
+import time
+from dataclasses import dataclass
 
 
-def install(spark):
-    """Create and register a fresh dist_comps accumulator. Returns it."""
+@dataclass
+class Meters:
+    dist: object  # Spark accumulator[int]: distance computations
+    udf_s: object  # Spark accumulator[float]: wall seconds inside UDFs
+
+    @property
+    def value(self) -> int:  # back-compat: meters.value == dist_comps
+        return int(self.dist.value)
+
+    @property
+    def udf_wall(self) -> float:
+        return float(self.udf_s.value)
+
+
+_CURRENT: Meters | None = None
+
+
+def install(spark) -> Meters:
+    """Create and register fresh accumulators. Returns the Meters."""
     global _CURRENT
-    _CURRENT = spark.sparkContext.accumulator(0)
+    _CURRENT = Meters(
+        dist=spark.sparkContext.accumulator(0),
+        udf_s=spark.sparkContext.accumulator(0.0),
+    )
     return _CURRENT
 
 
-def current():
-    """The active accumulator (or None when instrumentation is off)."""
+def current() -> Meters | None:
+    """The active meters (or None when instrumentation is off)."""
     return _CURRENT
 
 
-def counted_stream(fn, acc=None):
-    """Wrap a mapInPandas iterator function so the worker-side
-    DIST_COMPS delta of each invocation is added to ``acc``. No-op
-    when instrumentation is off (zero overhead in the hot path)."""
-    if acc is None:
-        acc = _CURRENT
-    if acc is None:
+def counted_stream(fn, meters: Meters | None = None):
+    """Wrap a mapInPandas iterator function so each invocation's
+    worker-side DIST_COMPS delta and wall time are added to the
+    accumulators. No-op when instrumentation is off (zero overhead in
+    the hot path)."""
+    if meters is None:
+        meters = _CURRENT
+    if meters is None:
         return fn
 
     def wrapped(batches):
         from ..core import covertree as _ct
 
         start = _ct.DIST_COMPS
+        t0 = time.time()
         try:
             yield from fn(batches)
         finally:
-            acc.add(_ct.DIST_COMPS - start)
+            meters.dist.add(_ct.DIST_COMPS - start)
+            meters.udf_s.add(time.time() - t0)
 
+    return wrapped
+
+
+def counted_fn(fn, meters: Meters | None = None):
+    """Same bridging for plain (non-iterator) pandas kernels —
+    applyInPandas / cogroup functions called once per group. The
+    wrapper preserves the wrapped function's ARITY: PySpark inspects
+    cogroup function signatures ((left, right) vs (key, left, right))
+    and rejects ``*args``."""
+    if meters is None:
+        meters = _CURRENT
+    if meters is None:
+        return fn
+
+    import inspect
+
+    nargs = len(inspect.signature(fn).parameters)
+
+    def _run(args):
+        from ..core import covertree as _ct
+
+        start = _ct.DIST_COMPS
+        t0 = time.time()
+        try:
+            return fn(*args)
+        finally:
+            meters.dist.add(_ct.DIST_COMPS - start)
+            meters.udf_s.add(time.time() - t0)
+
+    if nargs == 2:
+        def wrapped(left, right):
+            return _run((left, right))
+    elif nargs == 3:
+        def wrapped(key, left, right):
+            return _run((key, left, right))
+    else:
+        def wrapped(pdf):
+            return _run((pdf,))
     return wrapped
 
 
