@@ -131,23 +131,44 @@ def hash_tokens(tokens: np.ndarray) -> np.ndarray:
     h(s) = Horner(codepoint_i, base=257) in uint64 arithmetic (wraps
     mod 2^64 — deterministic, platform-independent; NOT a mod-p
     family, see minhash for the honest universal reduction). Zero
-    per-row Python: the strings go through one fixed-width UCS4 numpy
-    view, and Horner runs column-wise (one vector op per character
-    position of the longest token)."""
+    per-row Python in the hot loop: strings go through fixed-width
+    UCS4 numpy views, Horner runs column-wise.
+
+    Tokens are bucketed into POWER-OF-TWO LENGTH BANDS before the
+    fixed-width view: a batch's matrix used to be n_tokens x Lmax, so
+    ONE pathological long token (URL/base64 junk, routine in web
+    corpora) inflated memory and time for the whole batch by orders of
+    magnitude (round-2 ADVICE); per-band, each token pays at most 2x
+    its own length. Padding is masked BY POSITION (j < len(token)),
+    not by NUL value, so tokens containing embedded NUL codepoints
+    hash distinctly ('a\\x00b' != 'ab' — the value-mask collided
+    them)."""
     n = len(tokens)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
-    arr = np.asarray(tokens, dtype=str)  # fixed-width UCS4, left-aligned
-    L = arr.dtype.itemsize // 4
-    if L == 0:
-        return np.zeros(n, dtype=np.uint64)
-    codes = np.ascontiguousarray(arr).view(np.uint32).reshape(n, L).astype(np.uint64)
+    toks = np.asarray(tokens, dtype=object)
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
     h = np.zeros(n, dtype=np.uint64)
+    nz = np.flatnonzero(lens > 0)
+    if not len(nz):
+        return h
     base = np.uint64(_HASH_BASE)
-    for j in range(L):
-        c = codes[:, j]
-        live = c != 0  # trailing NUL = padding (tokens never contain NUL)
-        h[live] = h[live] * base + c[live]
+    # band = ceil(log2(len)): tokens of length (2^(b-1), 2^b]
+    band = np.zeros(n, dtype=np.int64)
+    band[nz] = np.ceil(np.log2(lens[nz])).astype(np.int64)
+    for b in np.unique(band[nz]):
+        idx = np.flatnonzero((band == b) & (lens > 0))
+        sub = np.asarray(toks[idx], dtype=str)  # UCS4, width = band max
+        L = sub.dtype.itemsize // 4
+        codes = (
+            np.ascontiguousarray(sub).view(np.uint32).reshape(len(idx), L)
+        ).astype(np.uint64)
+        sl = lens[idx]
+        hb = np.zeros(len(idx), dtype=np.uint64)
+        for j in range(L):
+            live = j < sl  # POSITION mask: embedded NULs participate
+            hb[live] = hb[live] * base + codes[live, j]
+        h[idx] = hb
     return h
 
 

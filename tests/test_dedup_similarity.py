@@ -47,6 +47,39 @@ def test_simhash_hamming_zero_for_exact_dups(spark):
     assert (0, 2) not in got and (1, 2) not in got
 
 
+def test_simhash_groups_recover_pairs(spark, docs):
+    """The scale-safe group/keeper representation must carry the same
+    information as the expanded pair set: reconstructing cliques from
+    the ham=0 stars and member-expanding the keeper-level cross pairs
+    yields EXACTLY representation='pairs'."""
+    pairs = {
+        (r["a"], r["b"]): r["ham"]
+        for r in dedup.simhash_neardup_pairs(
+            docs, max_hamming=3, representation="pairs"
+        ).collect()
+    }
+    grows = dedup.simhash_neardup_pairs(
+        docs, max_hamming=3, representation="groups"
+    ).collect()
+    members: dict[int, set[int]] = {}
+    for r in grows:
+        if r["ham"] == 0:
+            members.setdefault(r["a"], {r["a"]}).add(r["b"])
+    keeper_pairs = [(r["a"], r["b"], r["ham"]) for r in grows if r["ham"] > 0]
+    recon: dict[tuple[int, int], int] = {}
+    for grp in members.values():
+        for x in grp:
+            for y in grp:
+                if x < y:
+                    recon[(x, y)] = 0
+    for ka, kb, h in keeper_pairs:
+        for x in members.get(ka, {ka}):
+            for y in members.get(kb, {kb}):
+                recon[(min(x, y), max(x, y))] = h
+    assert pairs, "fixture should contain near-dup pairs"
+    assert recon == pairs
+
+
 def test_simhash_banding_pigeonhole():
     """The 6-block/3-combo multi-index parameters: any two signatures
     within Hamming distance 3 share at least one fully-intact 3-block
