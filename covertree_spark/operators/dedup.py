@@ -91,12 +91,30 @@ def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, min_jaccard_pct: int = 50
+    docs: DataFrame, n: int = 3, min_jaccard_pct: int = 50,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Pairs (a, b, inter, uni) with a < b and
     ``100*inter >= min_jaccard_pct * uni`` over distinct word n-gram
-    shingles. Integer-only outputs -> exact oracle comparison."""
+    shingles. Integer-only outputs -> exact oracle comparison.
+
+    ``max_df``: drop shingles whose document frequency exceeds it
+    BEFORE the self-join — standard web-dedup practice (a boilerplate
+    shingle shared by 10^6 docs otherwise makes 10^12 join rows; the
+    reference's load-balance analog is LPT + hub splitting,
+    dist_point_vector.cpp:656-696). The Jaccard is then DEFINED over
+    the rare-shingle sets (sizes and intersections both filtered), so
+    the SQL oracle expresses the identical rule. None = exact
+    unfiltered semantics (the minhash verification oracle)."""
     sh = shingles_df(docs, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     pairs = (
         sh.alias("x")
@@ -116,16 +134,28 @@ def ngram_jaccard_pairs(
     )
 
 
-def sql_ngram_jaccard_pairs(n: int = 3, min_jaccard_pct: int = 50, table="documents") -> str:
+def sql_ngram_jaccard_pairs(
+    n: int = 3, min_jaccard_pct: int = 50, table="documents",
+    max_df: int | None = None,
+) -> str:
+    df_filter = (
+        f""", dfq AS (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {max_df}
+), sh AS (
+  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfq USING (shingle)
+)"""
+        if max_df is not None
+        else ", sh AS (SELECT * FROM sh0)"
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '[ ]+') AS t FROM {table}
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(generate_series(1, len(t) - {n - 1}),
                                i -> array_to_string(t[i:i+{n - 1}], ' '))) AS shingle
   FROM toks
-), sizes AS (
+){df_filter}, sizes AS (
   SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
 ), pairs AS (
   SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter

@@ -203,6 +203,81 @@ def voronoi_centers(points: DataFrame, k: int, sample_size: int = 4096) -> np.nd
     return np.stack(centers)
 
 
+def refine_hot_centers(
+    points: DataFrame,
+    centers: np.ndarray,
+    max_cell_size: int,
+    per_cell_sample: int = 2048,
+    max_rounds: int = 3,
+    sub_cap: int = 64,
+) -> np.ndarray:
+    """Recursive hot-Voronoi-cell splitting: the vector-space analog of
+    split_hot_cells (reference load-balance analog: LPT + hub
+    splitting, dist_point_vector.cpp:656-696). Each round: assign ->
+    cell histogram (tiny driver collect) -> for every cell above
+    ``max_cell_size``, REPLACE its center with Gonzalez sub-centers
+    chosen from a bounded per-cell sample (count-proportional, capped).
+    Center choice never affects correctness (stats/bounds are computed
+    from the actual final assignment), only balance — so the refinement
+    loop is correctness-neutral by construction and terminates after
+    ``max_rounds`` regardless of the distribution."""
+    from pyspark.sql import Window
+
+    from ..core.covertree import dists_to
+
+    centers = np.asarray(centers, dtype=np.float64)
+    for _ in range(max_rounds):
+        assigned = assign_voronoi_cells(points, centers)
+        hist = {
+            int(r["cell"]): int(r["cnt"])
+            for r in assigned.groupBy("cell").agg(F.count("*").alias("cnt")).collect()
+        }
+        hot = sorted(c for c, n in hist.items() if n > max_cell_size)
+        if not hot:
+            return centers
+        w = Window.partitionBy("cell").orderBy(
+            F.xxhash64(F.col("id").cast("string")), F.col("id")
+        )
+        samp = (
+            assigned.filter(F.col("cell").isin([int(c) for c in hot]))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= per_cell_sample)
+            .select("cell", "id", "vec")
+            .toPandas()
+        )
+        keep = [centers[i] for i in range(len(centers)) if i not in set(hot)]
+        new = list(keep)
+        for c in hot:
+            grp = samp[samp["cell"] == c]
+            X = vec_matrix(grp)
+            ids = grp["id"].to_numpy()
+            sub_k = int(min(max(2, -(-hist[c] // max_cell_size)), sub_cap, len(ids)))
+            # Gonzalez init, then a few Lloyd iterations on the sample:
+            # farthest-point picks alone only peel the tails of a dense
+            # blob (the hot-cell case by definition); the mean updates
+            # split its mass evenly. All driver-side on the bounded
+            # sample, deterministic.
+            start = int(ids.argmin())
+            subs = [X[start]]
+            mind = dists_to(X, X[start])
+            for _ in range(sub_k - 1):
+                far = int(np.lexsort((ids, mind))[-1])
+                subs.append(X[far])
+                mind = np.minimum(mind, dists_to(X, X[far]))
+            from ..core.covertree import pairwise_sq_dists
+
+            C = np.stack(subs)
+            for _ in range(8):
+                a = pairwise_sq_dists(X, C).argmin(axis=1)
+                for j in range(sub_k):
+                    m = a == j
+                    if m.any():
+                        C[j] = X[m].mean(axis=0)
+            new.extend(C)
+        centers = np.stack(new)
+    return centers
+
+
 def coarse_group_of(centers: np.ndarray, n_coarse: int) -> np.ndarray:
     """Driver-side Gonzalez grouping of (fine) centers into
     ``n_coarse`` groups — (k,) int64 group index per center. Used to

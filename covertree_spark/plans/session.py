@@ -52,7 +52,17 @@ def mark_releasable(df):
 def release_intermediates() -> int:
     """Unpersist every operator-persisted intermediate. Call after the
     query result is materialized (never before: the plan would
-    recompute). Returns the number released."""
+    recompute). Returns the number released.
+
+    SCOPE CONTRACT (round-2 ADVICE): the registry is global and
+    assumes ONE query in flight per session at a time — build a query,
+    materialize it, release, then build the next. If two catalog
+    queries are built before either materializes, releasing after the
+    first drops the second's registered persists (e.g. the kNN
+    ``parts`` persist) and silently reintroduces the union
+    double-compute its persist exists to prevent. Interleaved callers
+    must materialize every outstanding operator result first — the
+    dist_comps accumulator doubling is the regression signal."""
     n = len(_RELEASABLE)
     for df in _RELEASABLE:
         try:

@@ -160,18 +160,24 @@ def featurize_text(pages: DataFrame, d: int = 16, seed: int = 42) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            vecs = []
-            for t in pdf["text"]:
-                toks = np.asarray(t.split(), dtype=object)
-                h = hash_tokens(toks)
-                v = np.zeros(d, dtype=np.float64)
+            # one flat token-hash array for the whole batch; per-doc
+            # feature buckets via a single 2-D scatter-add (doc*d +
+            # bucket), then row-normalize — no per-document loop
+            toks = [t.split() for t in pdf["text"]]
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                               count=len(toks))
+            V = np.zeros((len(pdf), d), dtype=np.float64)
+            if int(lens.sum()):
+                flat = np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks if t]
+                )
+                h = hash_tokens(flat)
+                doc = np.repeat(np.arange(len(lens)), lens)
                 bucket = (h % np.uint64(d)).astype(np.int64)
                 sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
-                np.add.at(v, bucket, sign)
-                nrm = np.linalg.norm(v)
-                if nrm > 0:
-                    v /= nrm
-                vecs.append(v.astype(np.float32))
-            yield pd.DataFrame({"id": pdf["id"], "vec": vecs})
+                np.add.at(V.reshape(-1), doc * d + bucket, sign)
+            nrm = np.linalg.norm(V, axis=1, keepdims=True)
+            V = np.divide(V, nrm, out=V, where=nrm > 0)
+            yield pd.DataFrame({"id": pdf["id"], "vec": list(V.astype(np.float32))})
 
     return pages.select("id", "text").mapInPandas(gen, schema="id bigint, vec array<float>")

@@ -76,8 +76,19 @@ if not os.path.exists(pages_path + "/_SUCCESS"):
 raw = spark.read.parquet(pages_path).select("id", "vec")
 
 # --- setup (untimed): both layouts, pre-partitioned + cached ---------
+# kNN home layout: hash-partitioned on cell at the shuffle-partition
+# count, so the cogroup plan's home side reads IN PLACE and only
+# phase-1 candidates move through the per-query shuffle (the round-2
+# full-home-shuffle defect — ~800MB of shuffle files per kNN run
+# through one shared virtio disk — is the prime suspect for the old
+# 0.42-0.71 raw efficiencies)
 kc = voronoi_centers(raw, k=knn_cells, sample_size=16384)
-pts_knn = assign_voronoi_cells(raw, kc).persist()
+pts_knn = (
+    assign_voronoi_cells(raw, kc)
+    .repartition(64, F.col("cell"))
+    .sortWithinPartitions("cell")
+    .persist()
+)
 pts_knn.count()
 
 bc = voronoi_centers(raw, k=build_cells, sample_size=16384)

@@ -47,6 +47,46 @@ def test_simhash_hamming_zero_for_exact_dups(spark):
     assert (0, 2) not in got and (1, 2) not in got
 
 
+def test_ngram_df_cut_bounds_skew(spark):
+    """A stop-shingle present in EVERY doc must not generate all-pairs
+    candidates once max_df cuts it: docs sharing ONLY the hot shingle
+    produce no pair, while genuinely-overlapping docs keep their
+    (rare-shingle-defined) Jaccard. The fixture's hot shingle 'x y z'
+    appears in all 40 docs; only docs 0/1 share rare shingles."""
+    rows = []
+    for i in range(40):
+        # every doc starts with the boilerplate; only 0 and 1 share tails
+        tail = "alpha beta gamma delta" if i < 2 else f"w{i} u{i} v{i} t{i}"
+        rows.append((i, f"x y z {tail}"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cut = dedup.ngram_jaccard_pairs(docs, n=3, min_jaccard_pct=50, max_df=5)
+    got = {(r["a"], r["b"]): (r["inter"], r["uni"]) for r in cut.collect()}
+    # rare shingles of doc0/doc1: 'z alpha beta','alpha beta gamma',
+    # 'beta gamma delta' (df=2 <= 5); hot ones 'x y z','y z alpha'
+    # (df 40 and 2... 'y z alpha' df=2) -> inter=4, uni=4
+    assert got == {(0, 1): (4, 4)}
+    # uncut rule at the same threshold: every doc pair shares 'x y z',
+    # but jaccard 1/9 < 50% — same OUTPUT here, quadratically more
+    # join rows; the cut bounds the candidate fanout itself
+    sh = dedup.shingles_df(docs, 3)
+
+    def cross_fanout(s):
+        return (
+            s.alias("x")
+            .join(s.alias("y"), "shingle")
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .count()
+        )
+
+    shc = sh.join(
+        sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 5).select("shingle"),
+        "shingle",
+    )
+    assert cross_fanout(sh) >= 40 * 39 // 2  # the skew bomb
+    assert cross_fanout(shc) == 4  # only the four genuine rare overlaps
+
+
 def test_simhash_groups_recover_pairs(spark, docs):
     """The scale-safe group/keeper representation must carry the same
     information as the expanded pair set: reconstructing cliques from
@@ -135,7 +175,8 @@ def test_fingerprints_shared_for_shifted_dup(spark):
     assert overlap02 == 0.0
 
 
-def test_ivf_recall_vs_brute(spark):
+@pytest.mark.parametrize("nlist,nprobe", [(16, 12), (32, 24)])
+def test_ivf_recall_vs_brute(spark, nlist, nprobe):
     embs = src.load_table(spark, SF_SMALL, "embeddings")
     exact = {
         (r["src"], r["dst"])
@@ -143,12 +184,52 @@ def test_ivf_recall_vs_brute(spark):
     }
     approx = {
         (r["src"], r["dst"])
-        for r in similarity.ivf_topk(embs, 5, nlist=16, nprobe=12).collect()
+        for r in similarity.ivf_topk(embs, 5, nlist=nlist, nprobe=nprobe).collect()
     }
     recall = len(exact & approx) / len(exact)
     # random d=64 embeddings have no cluster structure — the hardest
-    # case for IVF; 12/16 probes must still recover most of top-5
-    assert recall > 0.85, f"IVF recall {recall}"
+    # case for IVF; 3/4 of the lists probed must recover most of top-5
+    assert recall > 0.85, f"IVF recall {recall} at nlist={nlist}"
+
+
+def test_refine_hot_centers_balances_and_preserves_results(spark):
+    """A pathologically clustered corpus (90% of rows in one tight
+    blob): refinement must cap the hot Voronoi cell AND leave the
+    epsilon-graph unchanged (center choice is load balance, never
+    correctness)."""
+    from covertree_spark.operators.ball_join import ball_self_join
+    from covertree_spark.operators.partition import (
+        assign_voronoi_cells,
+        refine_hot_centers,
+        voronoi_centers,
+    )
+    from tests.conftest import make_blobs
+
+    X = make_blobs(2000, 8, n_clusters=4, seed=9,
+                   cluster_sizes=[1820, 60, 60, 60], spread=0.3)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "id bigint, vec array<double>",
+    ).persist()
+    centers = voronoi_centers(df, k=8)
+    cap = 400
+    refined = refine_hot_centers(df, centers, max_cell_size=cap)
+    assert len(refined) > len(centers)
+    hist = (
+        assign_voronoi_cells(df, refined)
+        .groupBy("cell").count().toPandas()["count"]
+    )
+    assert hist.max() <= cap, f"hot cell survived: max={hist.max()}"
+
+    r = 0.6
+    def edges(cs):
+        pts = assign_voronoi_cells(df, cs)
+        return sorted(
+            (x["src"], x["dst"])
+            for x in ball_self_join(pts, r, d=8).select("src", "dst").collect()
+        )
+
+    assert edges(refined) == edges(centers)
 
 
 def test_cosine_knn_exact_matches_brute(spark):
