@@ -39,7 +39,7 @@ from covertree_spark.plans.session import get_spark, release_intermediates  # no
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 BENCH_QUERIES = [
     "geo_knn",
@@ -110,6 +110,25 @@ def main() -> None:
                 best = min(best, dt)
         timings[name] = round(best, 3)
 
+    # IVF quality evidence: recall@5 vs the exact cosine top-k at this
+    # sf, across nprobe (the accuracy/cost dial a user actually turns)
+    from covertree_spark.operators import similarity as _sim
+    from covertree_spark.sources import tables as _src
+
+    exact5 = {
+        (r["src"], r["dst"])
+        for r in cat["cosine_topk"][0](spark, SF_DIR).collect()
+    }
+    ivf_recall = {}
+    embs = _src.load_table(spark, SF_DIR, "embeddings")
+    for nprobe in (2, 4, 8):
+        got = {
+            (r["src"], r["dst"])
+            for r in _sim.ivf_topk(embs, k=5, nprobe=nprobe).collect()
+        }
+        ivf_recall[f"nprobe={nprobe}"] = round(len(got & exact5) / len(exact5), 4)
+        release_intermediates()
+
     # headline: exact geo kNN queries/sec (every doc row is a query),
     # steady-state (warm) — what a long-lived cluster deployment sees
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
@@ -127,6 +146,7 @@ def main() -> None:
                 "counts": counts,
                 "dist_comps": dist_comps,
                 "udf_wall_s": udf_wall,
+                "ivf_recall_at_5": ivf_recall,
                 "runs_per_query": max(2, RUNS),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": CPUS,

@@ -56,6 +56,26 @@ def _local_ranks(qi: np.ndarray) -> np.ndarray:
     return (np.arange(len(qi)) - starts + 1).astype(np.int32)
 
 
+def _cand_matrix(qs: pd.DataFrame, H: np.ndarray, hid: np.ndarray) -> np.ndarray:
+    """Query matrix for a candidate block, restoring VEC-ELIDED rows:
+    phase 1 ships NULL instead of the vector when a self-join query
+    targets its own home cell (~90% of candidate rows on clustered
+    data) — the home block already holds that vector, so the shuffle
+    payload drops from O(rows x d) to O(foreign rows x d). Restored
+    here by one argsort + searchsorted against the home ids."""
+    vals = qs["vec"].to_numpy()
+    miss = np.fromiter((v is None for v in vals), dtype=bool, count=len(vals))
+    if not miss.any():
+        return vec_matrix(qs)
+    Q = np.empty((len(vals), H.shape[1]), dtype=np.float64)
+    if (~miss).any():
+        Q[~miss] = np.stack(vals[~miss]).astype(np.float64)
+    qid = qs["qid"].to_numpy()[miss]
+    order = np.argsort(hid, kind="stable")
+    Q[miss] = H[order[np.searchsorted(hid, qid, sorter=order)]]
+    return Q
+
+
 def _cell_knn_kernel(
     H: np.ndarray,
     hid: np.ndarray,
@@ -69,7 +89,7 @@ def _cell_knn_kernel(
     """Per-cell exact kNN of the candidate block ``qs`` against the
     home block (H, hid). Shared by the union-shuffle, cogroup and
     persisted-index paths — one kernel, three physical plans."""
-    Q = vec_matrix(qs)
+    Q = _cand_matrix(qs, H, hid)
     qids = qs["qid"].to_numpy()
     rq = qs["rq"].to_numpy()
     excl = qids if self_join else None
@@ -141,8 +161,14 @@ def knn_self_join(
     # no persist: with the cogroup/hash_shuffle strategies phase 1
     # streams straight into the ONE explicit shuffle (a range
     # partitioner would sample the input in an extra job, forcing a
-    # ~row-sized persist of the candidate set)
-    candidates = qdf.select("id", "vec").mapInPandas(
+    # ~row-sized persist of the candidate set).
+    # Self-join phase 1 also sees each query's HOME cell so the
+    # candidate row targeting it ships a NULL vec (see _cand_matrix) —
+    # the dominant shuffle payload drops to the foreign-cell fringe.
+    qcols = [F.col("id"), F.col("vec")] + (
+        [F.col(cell_col).alias("home_cell")] if self_join else []
+    )
+    candidates = qdf.select(*qcols).mapInPandas(
         counted_stream(phase1), schema=CAND_SCHEMA
     )
     if strategy == "range":
@@ -215,11 +241,16 @@ def _merge_topk(parts: DataFrame, k: int) -> DataFrame:
     global rank (no other cell can contribute) — they skip the merge
     shuffle entirely; only multi-cell queries pay the window.
 
-    ``parts`` is persisted first: the single/multi split reads it from
-    TWO branches of a union, and without a persist the reduce-side
-    phase-2 kernels execute twice (caught by the dist_comps
-    accumulator doubling, not by wall-clock eyeballing)."""
+    ``parts`` is persisted AND eagerly materialized first: the
+    single/multi split reads it from TWO branches of a union, and
+    under AQE those branches compile to INDEPENDENT query stages that
+    can run concurrently — each misses the still-empty cache and
+    re-executes the reduce-side phase-2 kernels (a RACY double-compute:
+    the same plan measured 31s on two runs and 59s/2x dist_comps on a
+    third). The count() pins the cache before either branch reads it;
+    the extra pass is a cached columnar scan, ~1% of the kernel cost."""
     parts = mark_releasable(parts.persist())
+    parts.count()
     single = parts.filter(F.col("ncand") <= 1).select(
         "qid", "nid", "dist", F.col("lrank").alias("rank")
     )
@@ -344,11 +375,18 @@ def _phase1_chunk(st, order_counts, pdf, need):
     # cell skip the global merge entirely (their local top-k is
     # already final)
     ncand = np.bincount(qi2, minlength=len(pdf))[qi2].astype(np.int32)
+    vecs = pdf["vec"].to_numpy()[qi2]
+    if "home_cell" in pdf.columns:
+        # vec elision (see _cand_matrix): the row targeting the
+        # query's own home cell ships NULL — the kernel restores it
+        # from the home block it already holds
+        vecs = vecs.copy()
+        vecs[tgt == pdf["home_cell"].to_numpy()[qi2]] = None
     yield pd.DataFrame(
         {
             "cell": tgt,
             "qid": pdf["id"].to_numpy()[qi2],
-            "vec": pdf["vec"].to_numpy()[qi2],
+            "vec": vecs,
             "rq": ub_k[qi2],
             "ncand": ncand,
         }
@@ -385,8 +423,14 @@ def knn_over_index(
     need = k + 1 if self_join else k
     phase1 = make_phase1(stats_bc, need)
     # cogroup's groupby is a hash shuffle (no sampling pass), so the
-    # candidate stream flows straight in — no persist needed
-    candidates = queries.select("id", "vec").mapInPandas(
+    # candidate stream flows straight in — no persist needed; a cell
+    # column on the query side enables home-cell vec elision
+    qcols = [F.col("id"), F.col("vec")] + (
+        [F.col("cell").alias("home_cell")]
+        if self_join and "cell" in queries.columns
+        else []
+    )
+    candidates = queries.select(*qcols).mapInPandas(
         counted_stream(phase1), schema=CAND_SCHEMA
     )
 
@@ -398,7 +442,7 @@ def knn_over_index(
                 {c: [] for c in _PART_EMPTY_TYPES}
             ).astype(_PART_EMPTY_TYPES)
         tree, H, hid = tree_from_row(tree_pdf.iloc[0])
-        Q = vec_matrix(cand_pdf)
+        Q = _cand_matrix(cand_pdf, H, hid)
         qids = cand_pdf["qid"].to_numpy()
         rq = cand_pdf["rq"].to_numpy()
         excl = qids if self_join else None

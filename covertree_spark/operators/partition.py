@@ -203,6 +203,39 @@ def voronoi_centers(points: DataFrame, k: int, sample_size: int = 4096) -> np.nd
     return np.stack(centers)
 
 
+def voronoi_centers_exact(points: DataFrame, k: int, d: int) -> np.ndarray:
+    """Reference-parity distributed Gonzalez: k GLOBAL ARGMAX
+    REDUCTIONS over all points (reference O1 + A2,
+    /root/reference/src/dist_point_vector.cpp:455-563 — each round a
+    distributed max of (dist-to-nearest-center, id)), expressed as
+    ``max_by`` aggregates with the running min-distance maintained as
+    a JVM column (whole-stage codegen, no Python in the scan).
+
+    k full scans — the hash-sampled ``voronoi_centers`` is the scale
+    default (center choice affects balance, never correctness); this
+    is the exact path for small k and the A2 'global argmax' operator.
+    Tie-break matches the sampled variant: larger id wins."""
+
+    def dist2(c: np.ndarray):
+        return sum(
+            (F.col("vec")[i] - F.lit(float(c[i])))
+            * (F.col("vec")[i] - F.lit(float(c[i])))
+            for i in range(d)
+        )
+
+    first = points.select(F.min_by("vec", F.col("id")).alias("v")).first()["v"]
+    centers = [np.asarray(first, dtype=np.float64)]
+    cur = points.select("id", "vec").withColumn("mind", dist2(centers[0]))
+    for _ in range(k - 1):
+        far = cur.select(
+            F.max_by("vec", F.struct(F.col("mind"), F.col("id"))).alias("v")
+        ).first()["v"]
+        c = np.asarray(far, dtype=np.float64)
+        centers.append(c)
+        cur = cur.withColumn("mind", F.least(F.col("mind"), dist2(c)))
+    return np.stack(centers)
+
+
 def refine_hot_centers(
     points: DataFrame,
     centers: np.ndarray,

@@ -558,7 +558,7 @@ def q_knn_over_index(spark, sf_dir):
     trees, tstats, _wh, _snap = _geo_index(spark, sf_dir)
     pts, _stats = _geo_points(spark, sf_dir)
     out = knn_over_index(
-        trees, pts.select("id", "vec"), k=KNN_K, d=3, stats=tstats
+        trees, pts.select("id", "vec", "cell"), k=KNN_K, d=3, stats=tstats
     )
     return out.select("src", "dst", F.col("rank").cast("bigint").alias("rank"))
 

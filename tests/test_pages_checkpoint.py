@@ -83,6 +83,29 @@ def test_checkpoint_resume(spark, tmp_path):
     assert len(sorted((r["src"], r["dst"]) for r in e3.collect())) > len(rows1)
 
 
+def test_geo_index_warehouse_resume(spark, tmp_path, monkeypatch):
+    """The catalog's persisted-index path (q_knn_over_index) commits a
+    warehouse snapshot and RESUMES it: a second build request reads the
+    committed snapshot back — the manifest is not re-committed and the
+    lineage metrics exist (north_rule resume on the driver-visible
+    surface)."""
+    from covertree_spark import queries as Q
+    from tests.conftest import SF_TINY
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "wh"))
+    trees, stats, wh, snap = Q._geo_index(spark, SF_TINY)
+    n1 = trees.count()
+    assert wh.is_committed("geo_trees", snap)
+    man1 = wh.manifest("geo_trees", snap)
+    # drop the session cache: the next call must resume, not rebuild
+    Q._PREP_CACHE.pop(Q._prep_key(spark, SF_TINY, "geo_index"))
+    trees2, *_ = Q._geo_index(spark, SF_TINY)
+    assert trees2.count() == n1
+    assert wh.manifest("geo_trees", snap)["committed_at"] == man1["committed_at"]
+    m = wh.metrics(spark).toPandas()
+    assert (m[m["table"] == "geo_trees"]["row_count"].sum()) == n1
+
+
 def test_snapshot_id_content_addressing():
     a = snapshot_id("edges", ["abc"], {"r": 0.3})
     b = snapshot_id("edges", ["abc"], {"r": 0.3})

@@ -57,6 +57,31 @@ def test_geo_ball_join_strategy_parity(spark, geo_points, geo_numpy, strategy):
     assert got == expected
 
 
+def test_voronoi_centers_exact_matches_numpy(spark):
+    """The distributed-argmax Gonzalez (reference O1/A2 parity path)
+    must pick exactly the centers the same greedy picks over the full
+    collected data."""
+    from covertree_spark.core.covertree import dists_to
+    from covertree_spark.operators.partition import voronoi_centers_exact
+    from tests.conftest import make_blobs
+
+    X = make_blobs(500, 4, n_clusters=5, seed=3).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "id bigint, vec array<double>",
+    )
+    k = 6
+    got = voronoi_centers_exact(df, k=k, d=4)
+    ids = np.arange(len(X))
+    cs = [X[0]]  # start at min id
+    mind = dists_to(X, X[0])
+    for _ in range(k - 1):
+        far = int(np.lexsort((ids, mind))[-1])
+        cs.append(X[far])
+        mind = np.minimum(mind, dists_to(X, X[far]))
+    assert np.array_equal(got, np.stack(cs))
+
+
 @pytest.mark.parametrize("strategy", ["hash_shuffle", "range", "cogroup"])
 def test_geo_knn_strategy_parity(spark, geo_points, geo_numpy, strategy):
     X, ids = geo_numpy
