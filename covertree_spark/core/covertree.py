@@ -462,17 +462,34 @@ def brute_topk(
     out_p: list[np.ndarray] = []
     out_d: list[np.ndarray] = []
     tie = point_ids if point_ids is not None else np.arange(n)
+    # FLOAT32 PREFILTER (exactness preserved — see _f32_topk_superset):
+    # the m x n distance matrix is the kernel's bandwidth hog; doing
+    # the candidate SELECTION in float32 halves the bytes through the
+    # memory system (the binding resource at high parallelism on
+    # shared-bus hosts) and the final ranking stays float64-exact.
+    use_f32 = n >= 512  # small blocks: selection overhead beats the savings
+    if use_f32:
+        P32 = np.ascontiguousarray(P, dtype=np.float32)
+        bb64 = np.einsum("ij,ij->i", P, P)
+        bb32 = bb64.astype(np.float32)
     for s in range(0, nq, chunk):
         e = min(s + chunk, nq)
-        d2 = pairwise_sq_dists(Q[s:e], P)
         m = e - s
-        if kk < n:
-            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        if use_f32:
+            qg0, cols, d2sel = _f32_topk_superset(
+                Q[s:e], P, P32, bb64, bb32, kk
+            )
+            rows, cols = qg0, cols
+            d = np.sqrt(np.maximum(d2sel, 0.0))
         else:
-            part = np.broadcast_to(np.arange(n), (m, n)).copy()
-        rows = np.repeat(np.arange(m), part.shape[1])
-        cols = part.ravel()
-        d = np.sqrt(d2[rows, cols])
+            d2 = pairwise_sq_dists(Q[s:e], P)
+            if kk < n:
+                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            else:
+                part = np.broadcast_to(np.arange(n), (m, n)).copy()
+            rows = np.repeat(np.arange(m), part.shape[1])
+            cols = part.ravel()
+            d = np.sqrt(d2[rows, cols])
         qg = rows + s
         keep = np.ones(len(qg), dtype=bool)
         if exclude_self_ids is not None and point_ids is not None:
@@ -485,6 +502,76 @@ def brute_topk(
         out_p.append(ps)
         out_d.append(ds)
     return np.concatenate(out_q), np.concatenate(out_p), np.concatenate(out_d)
+
+
+def _f32_topk_superset(Qc, P, P32, bb64, bb32, kk):
+    """Candidate top-``kk`` selection on a FLOAT32 distance matrix
+    with a per-row exactness certificate; exact float64 squared
+    distances returned for the selected pairs only.
+
+    Selection: argpartition the float32 matrix to ``kk + pad``
+    candidates per query (one pass, half the bytes of the float64
+    matrix — the kernel's bandwidth hog at high parallelism), then
+    recompute those candidates exactly in float64.
+
+    Certificate: every EXCLUDED point satisfies
+    ``d2_32 >= maxsel32`` (property of argpartition) and
+    ``d2_64 >= d2_32 - B`` where ``B = c*eps32*(||q||^2+max||p||^2)``
+    (forward-error bound for the float32 GEMM form incl. input
+    rounding, c = 4(d+4) with 4x slack). A row is certified iff
+    ``maxsel32 - B > exact kk-th candidate d2`` — then no excluded
+    point can beat the kk-th, so the float64 re-rank of the candidate
+    set is EXACTLY the pure-float64 answer. Uncertified rows (near-
+    tie pileups wider than the pad) fall back to the full float64 row.
+    Identity with the pure path is pinned by
+    test_brute_topk_f32_parity on adversarial fixtures."""
+    global DIST_COMPS
+    m, d_dim = Qc.shape
+    n = P.shape[0]
+    DIST_COMPS += m * n
+    Qc32 = np.ascontiguousarray(Qc, dtype=np.float32)
+    aa64 = np.einsum("ij,ij->i", Qc, Qc)
+    aa32 = aa64.astype(np.float32)
+    d2_32 = aa32[:, None] + bb32[None, :] - 2.0 * (Qc32 @ P32.T)
+    kkp = min(n, kk + max(8, kk // 2))
+    if kkp < n:
+        part = np.argpartition(d2_32, kkp - 1, axis=1)[:, :kkp]
+    else:
+        part = np.broadcast_to(np.arange(n), (m, n)).copy()
+    sel32 = np.take_along_axis(d2_32, part, axis=1)
+    maxsel32 = sel32.max(axis=1).astype(np.float64)
+    rows = np.repeat(np.arange(m), part.shape[1])
+    cols = part.ravel()
+    dots = np.einsum("ij,ij->i", Qc[rows], P[cols])
+    d2 = np.maximum(aa64[rows] + bb64[cols] - 2.0 * dots, 0.0)
+    if kkp == n:
+        return rows, cols, d2
+    d2m = d2.reshape(m, kkp)
+    kth = np.partition(d2m, kk - 1, axis=1)[:, kk - 1]
+    B = (4.0 * (d_dim + 4) * np.float64(np.finfo(np.float32).eps)) * (
+        aa64 + bb64.max()
+    )
+    bad = np.flatnonzero(maxsel32 - B <= kth)
+    if not len(bad):
+        return rows, cols, d2
+    ok = np.isin(rows, bad, invert=True)
+    out_r = [rows[ok]]
+    out_c = [cols[ok]]
+    out_d = [d2[ok]]
+    # fallback: exact float64 rows for the uncertified queries
+    d2f = pairwise_sq_dists(Qc[bad], P)
+    DIST_COMPS -= len(bad) * n  # already counted above
+    partf = np.argpartition(d2f, kk - 1, axis=1)[:, :kk]
+    rf = np.repeat(bad, kk)
+    cf = partf.ravel()
+    out_r.append(rf)
+    out_c.append(cf)
+    out_d.append(d2f[np.repeat(np.arange(len(bad)), kk), cf])
+    return (
+        np.concatenate(out_r),
+        np.concatenate(out_c),
+        np.concatenate(out_d),
+    )
 
 
 def knn_descend(

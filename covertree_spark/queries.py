@@ -563,6 +563,105 @@ def q_knn_over_index(spark, sf_dir):
     return out.select("src", "dst", F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_dedup_keep(spark, sf_dir):
+    """The deduplicated id set — what a pipeline actually writes out
+    after exact dedup (one keeper per distinct text)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_keep(docs)
+
+
+def sql_dedup_keep():
+    return "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+# quality-filter thresholds: integer-exact predicates (x100 ratios) —
+# chosen mid-distribution (alpha ratio spans ~81-83% on the synthetic
+# docs) so the gate actually filters; safe at the boundary because
+# both sides are integers, no float-clearance concern
+QF_MIN_TOKENS = 20
+QF_ALPHA_PCT = 82  # 100*n_alpha >= 82*n_chars
+
+
+def q_quality_filter(spark, sf_dir):
+    """The pipeline's quality gate: keep docs above a token floor and
+    an alphabetic-ratio floor. Predicates are integer arithmetic so
+    both engines decide identically at the boundary."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    out = tx.quality_components(docs)
+    return out.filter(
+        (F.col("n_tokens") >= QF_MIN_TOKENS)
+        & (F.lit(100) * F.col("n_alpha") >= F.lit(QF_ALPHA_PCT) * F.col("n_chars"))
+    ).select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+
+
+def sql_quality_filter():
+    return (
+        f"SELECT doc_id, {tx.sql_token_count('text')} AS n_tokens FROM documents "
+        f"WHERE {tx.sql_token_count('text')} >= {QF_MIN_TOKENS} AND "
+        "100 * length(regexp_replace(text, '[^a-z]', '', 'g')) >= "
+        f"{QF_ALPHA_PCT} * length(text)"
+    )
+
+
+def q_lang_predict(spark, sf_dir):
+    """Language ID decision: argmax over the stopword-hit scores with
+    a deterministic tie-break (lexicographically first language wins).
+    Output (doc_id, lang_idx) — the index into the sorted language
+    list, BIGINT for oracle comparability."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    scored = tx.lang_scores(docs)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in tx._LANGS])
+    pred = F.lit(None).cast("bigint")
+    # reversed when-chain: earlier languages override later on ties
+    for i in reversed(range(len(tx._LANGS))):
+        pred = F.when(
+            F.col(f"score_{tx._LANGS[i]}") == best, F.lit(i).cast("bigint")
+        ).otherwise(pred)
+    return scored.select("doc_id", pred.alias("lang_idx"))
+
+
+def sql_lang_predict():
+    inner = tx.sql_lang_scores()
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in tx._LANGS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lg} = {best} THEN {i}"
+        for i, lg in enumerate(tx._LANGS)
+    ) + " END"
+    return (
+        f"WITH s AS ({inner}) "
+        f"SELECT doc_id, CAST({case} AS BIGINT) AS lang_idx FROM s"
+    )
+
+
+def q_events_top_users(spark, sf_dir):
+    """Grouped top-k: the 3 most active users per event_type, ranked
+    by (count DESC, user_id ASC) — the window-over-aggregate shape of
+    every leaderboard query."""
+    from pyspark.sql import Window
+
+    ev = src.load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "user_id", "cnt",
+                F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+def sql_events_top_users():
+    return (
+        "WITH c AS (SELECT event_type, user_id, count(*) AS cnt "
+        "FROM events GROUP BY 1, 2) "
+        "SELECT event_type, user_id, cnt, CAST(row_number() OVER ("
+        "PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) AS BIGINT) AS rnk "
+        "FROM c QUALIFY rnk <= 3"
+    )
+
+
 def q_events_rollup(spark, sf_dir):
     """Hourly rollup over the events table: count + exact distinct
     users per (hour bucket, event_type). Timestamp bucketing + distinct
@@ -639,6 +738,10 @@ def catalog():
         "knn_over_index": (q_knn_over_index, sql_geo_knn()),
         "geo_degree_hist": (q_geo_degree_hist, sql_geo_degree_hist()),
         "events_rollup": (q_events_rollup, sql_events_rollup()),
+        "dedup_keep": (q_dedup_keep, sql_dedup_keep()),
+        "quality_filter": (q_quality_filter, sql_quality_filter()),
+        "lang_predict": (q_lang_predict, sql_lang_predict()),
+        "events_top_users": (q_events_top_users, sql_events_top_users()),
         "minhash_neardup": (q_minhash_neardup, None),
         "simhash_neardup": (q_simhash_neardup, None),
         "doc_fingerprints": (q_doc_fingerprints, None),

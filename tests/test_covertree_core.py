@@ -140,3 +140,49 @@ def test_tree_serialization_roundtrip():
     o2 = np.lexsort((pi2, qi2))
     assert np.array_equal(qi1[o1], qi2[o2])
     assert np.array_equal(pi1[o1], pi2[o2])
+
+
+def test_brute_topk_f32_parity():
+    """The float32-prefilter path must return IDENTICAL (query, point,
+    rank) sets and float64-exact distances vs a pure-float64 reference
+    — on adversarial data: huge norms (offset +1000, where float32
+    absolute error is largest), exact duplicates, tight clusters."""
+    rng = np.random.default_rng(11)
+    n, d, k = 1500, 16, 10  # n >= 512 engages the prefilter
+    X = rng.normal(size=(n, d)) * 0.01 + 1000.0  # tiny gaps, huge norms
+    X[50] = X[40]  # exact duplicates
+    X[51] = X[40]
+    ids = np.arange(n)
+    qi, pi, di = ct.brute_topk(
+        X, X, k, exclude_self_ids=ids, point_ids=ids
+    )
+    # pure-float64 reference (same ranking rule: (dist, id))
+    D2 = ct.pairwise_sq_dists(X, X)
+    ref = []
+    for q in range(n):
+        cand = [(np.sqrt(D2[q, j]), j) for j in range(n) if j != q]
+        cand.sort()
+        ref.extend((q, j, dist) for dist, j in cand[:k])
+    got = sorted(zip(qi.tolist(), pi.tolist(), di.tolist()))
+    ref = sorted(ref)
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in ref]
+    # this fixture is engineered for catastrophic cancellation
+    # (aa+bb ~ 3e7 against d2 ~ 1e-4): BOTH float64 GEMM-form paths
+    # carry ~eps*(aa+bb)/(2d) ~ 3e-8 absolute in dist; the engine's
+    # clearance discipline (gaps >= 1e-6) is exactly what absorbs it
+    for (_, _, dg), (_, _, dr) in zip(got, ref):
+        assert abs(dg - dr) <= 1e-6
+
+    # benign-scale fixture: distances agree to float64 tightness
+    Y = rng.normal(size=(800, 12))
+    idy = np.arange(len(Y))
+    qi2, pi2, di2 = ct.brute_topk(Y, Y, 5, exclude_self_ids=idy, point_ids=idy)
+    D2y = ct.pairwise_sq_dists(Y, Y)
+    np.fill_diagonal(D2y, np.inf)
+    for q in (0, 97, 543):
+        mine = sorted((p, d) for qq, p, d in zip(qi2, pi2, di2) if qq == q)
+        dd = np.sqrt(D2y[q])
+        best = sorted(zip(dd, np.arange(len(Y))))[:5]
+        assert [p for p, _ in mine] == sorted(j for _, j in best)
+        for (_, dg), (dr, _) in zip(mine, sorted(best, key=lambda t: t[1])):
+            assert abs(dg - dr) <= 1e-12 * max(1.0, dr)
