@@ -97,10 +97,16 @@ def lonlat_to_xyz(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
 
 
 def sql_xyz_exprs(lon_expr: str, lat_expr: str) -> tuple[str, str, str]:
-    """SQL for the same unit-sphere embedding (cos/sin of radians)."""
-    x = f"cos(radians({lat_expr})) * cos(radians({lon_expr}))"
-    y = f"cos(radians({lat_expr})) * sin(radians({lon_expr}))"
-    z = f"sin(radians({lat_expr}))"
+    """SQL for the unit-sphere embedding, ROUNDED THROUGH FLOAT32 —
+    the engine's point payload type (reference Atom = float32,
+    include/utils.h:17-18). float64 trig, one f32 rounding, widened
+    back to DOUBLE: Spark, DuckDB and numpy all use IEEE round-to-
+    nearest for the f64->f32 cast, so every engine holds bit-identical
+    f32-representable coordinates and all float64 distance math over
+    them agrees bit-for-bit."""
+    x = f"CAST(CAST(cos(radians({lat_expr})) * cos(radians({lon_expr})) AS FLOAT) AS DOUBLE)"
+    y = f"CAST(CAST(cos(radians({lat_expr})) * sin(radians({lon_expr})) AS FLOAT) AS DOUBLE)"
+    z = f"CAST(CAST(sin(radians({lat_expr})) AS FLOAT) AS DOUBLE)"
     return x, y, z
 
 

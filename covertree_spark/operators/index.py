@@ -24,8 +24,12 @@ from ..sources.tables import vec_matrix
 # per-element boxing conversion through Arrow -> UnsafeRow -> parquet
 # that saturates memory bandwidth when many writer tasks run
 # concurrently (measured 2.2x ANTI-scaling 8->32 tasks on the 3M-point
-# index write); binary blobs stream straight through. Bytes are exact
-# IEEE — query parity with the transient path is bit-identical.
+# index write); binary blobs stream straight through. The point block
+# is FLOAT32 (<f4) — the engine's payload type (reference Atom,
+# include/utils.h:17-18): input vecs are f32-representable, so the
+# narrowing is EXACT and the dominant blob halves. Kernels widen the
+# block to float64 on deserialize — query parity with the transient
+# path stays bit-identical.
 TREE_SCHEMA = (
     "cell bigint, n bigint, childarr binary, childptrs binary, "
     "centers binary, radii binary, ids binary, "
@@ -60,7 +64,7 @@ def build_trees(
                 "centers": [tree.centers.astype("<i8").tobytes()],
                 "radii": [tree.radii.astype("<f8").tobytes()],
                 "ids": [pdf["id"].to_numpy().astype("<i8").tobytes()],
-                "points": [X.astype("<f8").ravel().tobytes()],
+                "points": [X.astype("<f4").ravel().tobytes()],
                 "centroid": [centroid],
                 "circumradius": [circ],
             }
@@ -107,5 +111,11 @@ def tree_from_row(row) -> tuple[ct.CoverTree, np.ndarray, np.ndarray]:
     )
     ids = np.frombuffer(row["ids"], dtype="<i8")
     n = int(row["n"])
-    pts = np.frombuffer(row["points"], dtype="<f8").reshape(n, -1)
+    # widen once per block: exact (values are f32-representable) and
+    # O(n*d) next to the query GEMMs this block feeds
+    pts = (
+        np.frombuffer(row["points"], dtype="<f4")
+        .reshape(n, -1)
+        .astype(np.float64)
+    )
     return tree, pts, ids

@@ -37,7 +37,7 @@ from ..plans.session import mark_releasable
 from ..sources.tables import vec_matrix
 from .partition import CellStats, cell_stats
 
-CAND_SCHEMA = "cell bigint, qid bigint, vec array<double>, rq double, ncand int"
+CAND_SCHEMA = "cell bigint, qid bigint, vec array<float>, rq double, ncand int"
 PART_SCHEMA = "qid bigint, nid bigint, dist double, lrank int, ncand int"
 
 _PART_EMPTY_TYPES = {
@@ -62,7 +62,10 @@ def _cand_matrix(qs: pd.DataFrame, H: np.ndarray, hid: np.ndarray) -> np.ndarray
     targets its own home cell (~90% of candidate rows on clustered
     data) — the home block already holds that vector, so the shuffle
     payload drops from O(rows x d) to O(foreign rows x d). Restored
-    here by one argsort + searchsorted against the home ids."""
+    here by one argsort + searchsorted against the home ids, with a
+    MEMBERSHIP CHECK (round-3 ADVICE): a caller violating the elision
+    contract (e.g. a stale 'cell' column against a mismatched index)
+    must fail loudly, never silently restore a wrong vector."""
     vals = qs["vec"].to_numpy()
     miss = np.fromiter((v is None for v in vals), dtype=bool, count=len(vals))
     if not miss.any():
@@ -72,7 +75,18 @@ def _cand_matrix(qs: pd.DataFrame, H: np.ndarray, hid: np.ndarray) -> np.ndarray
         Q[~miss] = np.stack(vals[~miss]).astype(np.float64)
     qid = qs["qid"].to_numpy()[miss]
     order = np.argsort(hid, kind="stable")
-    Q[miss] = H[order[np.searchsorted(hid, qid, sorter=order)]]
+    pos = np.searchsorted(hid, qid, sorter=order)
+    inb = pos < len(hid)
+    hit = order[np.where(inb, pos, 0)]
+    if not bool(np.all(inb & (hid[hit] == qid))):
+        missing = qid[~(inb & (hid[hit] == qid))][:5]
+        raise KeyError(
+            "vec-elided query ids absent from their home block "
+            f"(elision contract violated; e.g. {missing.tolist()}): "
+            "the queries' 'cell' column does not match the layout this "
+            "home/index block was built from"
+        )
+    Q[miss] = H[hit]
     return Q
 
 

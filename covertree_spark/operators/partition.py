@@ -165,7 +165,7 @@ def assign_voronoi_cells(points: DataFrame, centers: np.ndarray) -> DataFrame:
             out["cell"] = d2.argmin(axis=1).astype(np.int64)
             yield out
 
-    schema = "id bigint, vec array<double>, cell bigint"
+    schema = "id bigint, vec array<float>, cell bigint"
     return points.mapInPandas(counted_stream(assign), schema=schema)
 
 
@@ -352,7 +352,7 @@ def assign_two_level(points: DataFrame, fine_centers: np.ndarray,
             out["cell_fine"] = fine
             yield out
 
-    schema = "id bigint, vec array<double>, cell bigint, cell_fine bigint"
+    schema = "id bigint, vec array<float>, cell bigint, cell_fine bigint"
     return points.mapInPandas(counted_stream(assign), schema=schema)
 
 
@@ -508,5 +508,5 @@ def replicate_ghosts(
             elif out_home is not None:
                 yield out_home
 
-    schema = "cell bigint, id bigint, vec array<double>, is_ghost boolean"
+    schema = "cell bigint, id bigint, vec array<float>, is_ghost boolean"
     return points.mapInPandas(counted_stream(dilate), schema=schema)

@@ -52,7 +52,7 @@ WINDOW_LON = (-60.0, 60.0)
 WINDOW_LAT = (-30.0, 30.0)
 VORONOI_K = 8
 PIP_POLYS = convex_fixture_polygons(6)
-INDEX_V = 3  # warehouse snapshot layout version (see _geo_index)
+INDEX_V = 4  # warehouse snapshot layout version (see _geo_index); v4 = f32 point blobs
 
 # partitioning policy: cells are sized from the data, never hardcoded
 # (round-1 VERDICT: a fixed res=2 capped every heavy stage at 16 tasks)
@@ -99,10 +99,14 @@ def adaptive_geo_res(n_rows: int, parallelism: int) -> int:
     return res
 
 _LON_E, _LAT_E = geometry.sql_lonlat_exprs("doc_id")
+# xyz coordinates round through FLOAT32 — the engine's point payload
+# type (reference Atom, include/utils.h:17-18). Both engines apply the
+# SAME rounding in this shared fragment, then do all distance math in
+# float64 over the f32-representable values — bit-equal decisions.
+_X_E, _Y_E, _Z_E = geometry.sql_xyz_exprs("lon", "lat")
 _PTS_CTE = (
     f"WITH pts AS (SELECT doc_id AS id, {_LON_E} AS lon, {_LAT_E} AS lat FROM documents), "
-    "xyz AS (SELECT id, cos(radians(lat)) * cos(radians(lon)) AS x, "
-    "cos(radians(lat)) * sin(radians(lon)) AS y, sin(radians(lat)) AS z FROM pts)"
+    f"xyz AS (SELECT id, {_X_E} AS x, {_Y_E} AS y, {_Z_E} AS z FROM pts)"
 )
 
 

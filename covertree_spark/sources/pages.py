@@ -99,8 +99,10 @@ def blob_points(
     benchmark generator shape, /root/reference/ptgen.py:9-33 /
     job_nersc_blobs.sh): cluster = id % n_clusters, offset = integer-
     hash uniform noise — a pure function of (seed, id), so identical
-    at any parallelism. Returns (id, vec ARRAY<DOUBLE>, cell) with
-    cell = true cluster id (callers may re-partition via Voronoi).
+    at any parallelism. Returns (id, vec ARRAY<FLOAT>, cell) with
+    cell = true cluster id (callers may re-partition via Voronoi);
+    the f32 rounding is part of the deterministic data definition, so
+    outputs stay identical at any parallelism.
 
     ``ambient``: like the reference's ptgen.py zero-pad + random QR
     rotation — points are generated in d intrinsic dimensions, padded
@@ -144,10 +146,12 @@ def blob_points(
             X = centers[c] + scales[None, :] * noise
             if rot is not None:
                 X = X @ rot
-            yield pd.DataFrame({"id": ids, "vec": list(X), "cell": c})
+            yield pd.DataFrame(
+                {"id": ids, "vec": list(X.astype(np.float32)), "cell": c}
+            )
 
     return spark.range(0, n, 1, parts).mapInPandas(
-        gen, schema="id bigint, vec array<double>, cell bigint"
+        gen, schema="id bigint, vec array<float>, cell bigint"
     )
 
 
