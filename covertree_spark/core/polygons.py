@@ -56,6 +56,56 @@ def sql_convex_predicate(lon_expr: str, lat_expr: str, poly: np.ndarray) -> str:
     return "(" + " AND ".join(terms) + ")"
 
 
+def sql_concave_predicate(lon_expr: str, lat_expr: str, poly: np.ndarray) -> str:
+    """SQL predicate equivalent to ``point_in_polygon`` (even-odd ray
+    crossing), SAME OP ORDER as the numpy kernel so both engines make
+    bit-identical decisions on float64: per edge,
+    ``xint = x1 + (lat - y1) / (y2 - y1) * (x2 - x1)`` and a crossing
+    counts when the edge straddles the ray AND lon < xint. The
+    division is guarded by a nested CASE (evaluated only when the edge
+    straddles, which implies y1 != y2 — numpy masks the same lanes)."""
+    terms = []
+    m = len(poly)
+    for i in range(m):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % m]
+        straddle = f"(({y1!r} > ({lat_expr})) <> ({y2!r} > ({lat_expr})))"
+        xint = (
+            f"{x1!r} + (({lat_expr}) - {y1!r}) / ({y2!r} - {y1!r})"
+            f" * ({x2!r} - {x1!r})"
+        )
+        terms.append(
+            f"(CASE WHEN {straddle} THEN "
+            f"(CASE WHEN ({lon_expr}) < {xint} THEN 1 ELSE 0 END) "
+            "ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def concave_fixture_polygons(count: int = 4, seed: int = 7) -> list[np.ndarray]:
+    """Deterministic CONCAVE (star-shaped simple) polygons: vertices at
+    sorted angles with alternating inner/outer radii — every polygon is
+    simple by construction and genuinely concave (inner vertices make
+    reflex angles). Literal float64 vertices embedded verbatim into
+    both engines, like the convex fixtures."""
+    rng = np.random.default_rng(seed)
+    polys = []
+    for _ in range(count):
+        cx = rng.uniform(-150, 150)
+        cy = rng.uniform(-70, 70)
+        nspike = int(rng.integers(4, 7))
+        angles = np.sort(rng.uniform(0, 2 * np.pi, 2 * nspike))
+        radii = np.where(
+            np.arange(2 * nspike) % 2 == 0,
+            rng.uniform(18.0, 30.0, 2 * nspike),
+            rng.uniform(5.0, 10.0, 2 * nspike),
+        )
+        xs = cx + radii * np.cos(angles)
+        ys = cy + radii * np.sin(angles)
+        polys.append(np.stack([xs, ys], axis=1).astype(np.float64))
+    return polys
+
+
 def convex_fixture_polygons(count: int = 8, seed: int = 42) -> list[np.ndarray]:
     """Deterministic CCW convex polygons scattered in lon/lat space.
 

@@ -214,7 +214,16 @@ def voronoi_centers_exact(points: DataFrame, k: int, d: int) -> np.ndarray:
     k full scans — the hash-sampled ``voronoi_centers`` is the scale
     default (center choice affects balance, never correctness); this
     is the exact path for small k and the A2 'global argmax' operator.
-    Tie-break matches the sampled variant: larger id wins."""
+    Tie-break matches the sampled variant: larger id wins.
+
+    PLAN-DEPTH CONTROL (round-3 VERDICT what's-wrong #3): the running
+    min-distance is maintained as a ``least(...)`` column chain, one
+    layer per round — beyond ~100 rounds Catalyst analysis cost
+    explodes on the ever-deeper tree. Every ``checkpoint_every``
+    rounds the frame is ``localCheckpoint``ed (lineage truncated, a
+    materialization the per-round argmax job was paying anyway), so
+    the operator runs at the reference's default center counts
+    (25/proc x procs, rgraph.py:20-29) with bounded plan depth."""
 
     def dist2(c: np.ndarray):
         return sum(
@@ -223,16 +232,19 @@ def voronoi_centers_exact(points: DataFrame, k: int, d: int) -> np.ndarray:
             for i in range(d)
         )
 
+    checkpoint_every = 32
     first = points.select(F.min_by("vec", F.col("id")).alias("v")).first()["v"]
     centers = [np.asarray(first, dtype=np.float64)]
     cur = points.select("id", "vec").withColumn("mind", dist2(centers[0]))
-    for _ in range(k - 1):
+    for i in range(k - 1):
         far = cur.select(
             F.max_by("vec", F.struct(F.col("mind"), F.col("id"))).alias("v")
         ).first()["v"]
         c = np.asarray(far, dtype=np.float64)
         centers.append(c)
         cur = cur.withColumn("mind", F.least(F.col("mind"), dist2(c)))
+        if (i + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
     return np.stack(centers)
 
 
@@ -381,12 +393,29 @@ def split_hot_cells(
         return points.withColumn("pcell", F.col("cell"))
     offset = cellcodec.num_cells(res)
     fine_expr = cellcodec.sql_cell_expr(lon_col, lat_col, res + delta)
-    return points.withColumn(
-        "pcell",
-        F.when(
-            F.col("cell").isin([int(c) for c in hot]),
-            F.expr(fine_expr) + F.lit(offset),
-        ).otherwise(F.col("cell")),
+    fine_cell = F.expr(fine_expr) + F.lit(offset)
+    if len(hot) <= 1024:
+        # small hot set: a literal IN-list stays whole-stage-codegen'd
+        return points.withColumn(
+            "pcell",
+            F.when(
+                F.col("cell").isin([int(c) for c in hot]), fine_cell
+            ).otherwise(F.col("cell")),
+        )
+    # large hot set (skew-heavy corpora): broadcast-join against a
+    # hot-cell frame — a 100k-literal isin() bloats the plan tree and
+    # its codegen; the join is the scale-clean form (round-3 VERDICT
+    # what's-wrong #4)
+    spark = points.sparkSession
+    hot_df = spark.createDataFrame(
+        [(int(c),) for c in hot], "cell bigint"
+    ).withColumn("_hot", F.lit(True))
+    return (
+        points.join(F.broadcast(hot_df), "cell", "left")
+        .withColumn(
+            "pcell", F.when(F.col("_hot"), fine_cell).otherwise(F.col("cell"))
+        )
+        .drop("_hot")
     )
 
 

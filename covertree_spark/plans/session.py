@@ -38,31 +38,70 @@ def _package_zip() -> str:
 # because several downstream jobs consume them. A long-lived session running
 # many queries (bench.py, the driver gate) would otherwise accumulate cached
 # blocks until storage eviction (ADVICE round 1). Operators register such
-# DataFrames here; callers invoke release_intermediates() once the query's
-# result is materialized. Inputs the CALLER persisted (e.g. the catalog's
+# DataFrames here; callers release them once the query's result is
+# materialized. Inputs the CALLER persisted (e.g. the catalog's
 # prepared-points cache) are never registered, so they survive release.
+#
+# TWO GRANULARITIES (round-3 VERDICT #6):
+#   * ReleaseScope — the per-query handle. Build a query inside
+#     ``with ReleaseScope() as rs:``; every intermediate the operators
+#     persist during that build registers with THAT scope. Call
+#     ``rs.release()`` after materializing the result. Interleaved
+#     queries are safe: each build's persists live in its own scope,
+#     so releasing query A never drops query B's ``parts`` persist
+#     (the foot-gun that silently reintroduced the kNN AQE union
+#     double-compute — dist_comps doubling was the regression signal).
+#   * release_intermediates() — the legacy global sweep, correct for
+#     the one-query-in-flight pattern. Registrations made outside any
+#     active scope land in the global registry it drains.
 _RELEASABLE: list = []
+_SCOPE_STACK: list = []
+
+
+class ReleaseScope:
+    """Collects the intermediates operators persist while the scope is
+    active (plan BUILD time — operators persist eagerly during query
+    construction); ``release()`` unpersists exactly those. Reentrant:
+    nested scopes collect into the innermost."""
+
+    def __init__(self):
+        self._dfs: list = []
+
+    def __enter__(self) -> "ReleaseScope":
+        _SCOPE_STACK.append(self)
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        _SCOPE_STACK.remove(self)
+        return False
+
+    def release(self) -> int:
+        """Unpersist this scope's intermediates. Call AFTER the query
+        result is materialized (never before: the plan would
+        recompute). Returns the number released."""
+        n = len(self._dfs)
+        for df in self._dfs:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
+        self._dfs.clear()
+        return n
 
 
 def mark_releasable(df):
-    _RELEASABLE.append(df)
+    if _SCOPE_STACK:
+        _SCOPE_STACK[-1]._dfs.append(df)
+    else:
+        _RELEASABLE.append(df)
     return df
 
 
 def release_intermediates() -> int:
-    """Unpersist every operator-persisted intermediate. Call after the
-    query result is materialized (never before: the plan would
-    recompute). Returns the number released.
-
-    SCOPE CONTRACT (round-2 ADVICE): the registry is global and
-    assumes ONE query in flight per session at a time — build a query,
-    materialize it, release, then build the next. If two catalog
-    queries are built before either materializes, releasing after the
-    first drops the second's registered persists (e.g. the kNN
-    ``parts`` persist) and silently reintroduces the union
-    double-compute its persist exists to prevent. Interleaved callers
-    must materialize every outstanding operator result first — the
-    dist_comps accumulator doubling is the regression signal."""
+    """Unpersist every GLOBALLY-registered operator intermediate (see
+    the registry contract above; per-query callers use ReleaseScope).
+    Call after the query result is materialized. Returns the number
+    released."""
     n = len(_RELEASABLE)
     for df in _RELEASABLE:
         try:

@@ -289,3 +289,28 @@ def test_index_roundtrip_query_parity(spark, tmp_path):
         tree, P, ids = tree_from_row(r)
         qi, pi, di = ct.radius_query(tree, P, P, 1e-12)
         assert np.all(np.bincount(qi, minlength=len(P)) >= 1)
+
+
+def test_ivf_dial_reaches_recall90(spark):
+    """The documented accuracy dial (round-3 VERDICT #4): with the
+    data-derived nlist, probing 3/4 of the lists reaches pipeline-grade
+    recall@5 >= 0.9 on the IVF worst case (random d=64, no cluster
+    structure). The index is built once; the sweep point is query-only
+    (cogroup against the aligned persisted lists — no home shuffle)."""
+    from covertree_spark.plans.session import release_intermediates
+
+    embs = src.load_table(spark, SF_SMALL, "embeddings")
+    exact = {
+        (r["src"], r["dst"])
+        for r in similarity.cosine_topk_brute(embs, 5).collect()
+    }
+    pts, centers = similarity.ivf_index(embs)
+    nprobe = max(1, int(0.75 * len(centers)))
+    approx = {
+        (r["src"], r["dst"])
+        for r in similarity.ivf_topk_over(pts, centers, 5, nprobe=nprobe).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"dial recall {recall} at nprobe={nprobe}/{len(centers)}"
+    pts.unpersist()
+    release_intermediates()

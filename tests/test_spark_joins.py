@@ -278,3 +278,69 @@ def test_hot_cell_split_preserves_results(spark):
     exp = brute_ball_edges(X, GEO_R)
     expected = sorted((int(ids[s]), int(ids[t])) for s, t in exp)
     assert got == expected
+
+
+def test_release_scope_interleaved_no_double_compute(spark):
+    """Round-3 VERDICT #6: two catalog queries BUILT interleaved, then
+    materialized and released per-scope, must not re-execute each
+    other's kernels (the old global registry dropped query B's
+    persisted partials when query A released — the racy AQE union
+    double-compute; dist_comps doubling is the regression signal)."""
+    from covertree_spark import queries as Q
+    from covertree_spark.plans import metrics as M
+    from covertree_spark.plans.session import ReleaseScope
+
+    # prime the shared prepared layouts so both flows measure only
+    # query work
+    Q._geo_points(spark, SF_TINY)
+    Q._emb_points(spark, SF_TINY)
+
+    meters = M.install(spark)
+    with ReleaseScope() as r1:
+        na = Q.q_geo_knn(spark, SF_TINY).count()
+    r1.release()
+    with ReleaseScope() as r2:
+        nb = Q.q_emb_knn(spark, SF_TINY).count()
+    r2.release()
+    seq = meters.value
+
+    meters = M.install(spark)
+    with ReleaseScope() as r1:
+        a = Q.q_geo_knn(spark, SF_TINY)
+    with ReleaseScope() as r2:
+        b = Q.q_emb_knn(spark, SF_TINY)
+    na2 = a.count()
+    r1.release()
+    nb2 = b.count()
+    r2.release()
+    inter = meters.value
+
+    assert (na2, nb2) == (na, nb)
+    # identical work modulo noise — a dropped persist would ~2x this
+    assert inter <= int(seq * 1.2) + 1000, (inter, seq)
+
+
+def test_voronoi_centers_exact_deep_k_parity(spark):
+    """The distributed Gonzalez parity path at a center count past the
+    localCheckpoint boundary (round-3 VERDICT what's-wrong #3: the
+    least()-chain plan exploded beyond ~100 rounds): k=70 crosses two
+    lineage truncations and must still match the numpy greedy exactly."""
+    from covertree_spark.core.covertree import dists_to
+    from covertree_spark.operators.partition import voronoi_centers_exact
+    from tests.conftest import make_blobs
+
+    X = make_blobs(400, 4, n_clusters=8, seed=11).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "id bigint, vec array<double>",
+    )
+    k = 70
+    got = voronoi_centers_exact(df, k=k, d=4)
+    ids = np.arange(len(X))
+    cs = [X[0]]
+    mind = dists_to(X, X[0])
+    for _ in range(k - 1):
+        far = int(np.lexsort((ids, mind))[-1])
+        cs.append(X[far])
+        mind = np.minimum(mind, dists_to(X, X[far]))
+    assert np.array_equal(got, np.stack(cs))
