@@ -106,7 +106,13 @@ def ngram_jaccard_pairs(
     the rare-shingle sets (sizes and intersections both filtered), so
     the SQL oracle expresses the identical rule. None = exact
     unfiltered semantics (the minhash verification oracle)."""
-    sh = shingles_df(docs, n)
+    from ..plans.session import mark_releasable
+
+    # the exploded shingle table feeds the df-cut aggregate, BOTH join
+    # sides and the per-doc sizes — persist once instead of re-running
+    # the string-heavy explode per consumer (operator caching contract:
+    # registered releasable, dropped by the caller's ReleaseScope)
+    sh = mark_releasable(shingles_df(docs, n).persist())
     if max_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -114,7 +120,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle")
+        sh = mark_releasable(sh.join(rare, "shingle").persist())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     pairs = (
         sh.alias("x")
@@ -273,9 +279,13 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH plan: signatures -> band buckets -> candidates
     -> exact shingle-Jaccard verification of candidates only."""
+    from ..plans.session import mark_releasable
+
     sigs = minhash_signatures(docs, n, num_perm)
     cand = minhash_lsh_candidates(sigs, bands)
-    sh = shingles_df(docs, n)
+    # three consumers (sizes, both verification join sides): persist
+    # the explode once, released by the caller's scope
+    sh = mark_releasable(shingles_df(docs, n).persist())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")

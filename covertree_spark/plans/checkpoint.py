@@ -133,6 +133,26 @@ class Warehouse:
         with open(self._manifest_path(table, snap)) as f:
             return json.load(f)
 
+    def gc(self) -> list[str]:
+        """Remove DANGLING snapshot data — data dirs whose manifest was
+        never committed (a killed run between data write and the atomic
+        manifest rename). Committed snapshots are never touched, so
+        resume semantics are unaffected; this bounds warehouse-root
+        growth across crashed sessions (round-3 VERDICT #9)."""
+        import shutil
+
+        removed: list[str] = []
+        for table in os.listdir(self.root):
+            data_root = os.path.join(self.root, table, "data")
+            if table.startswith("_") or not os.path.isdir(data_root):
+                continue
+            for snap in os.listdir(data_root):
+                if not self.is_committed(table, snap):
+                    path = os.path.join(data_root, snap)
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed.append(path)
+        return removed
+
 
 def checkpointed_ball_join(
     spark: SparkSession,

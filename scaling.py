@@ -269,16 +269,40 @@ def main() -> None:
     n = 200_000 if args.quick else args.n
 
     base = "/tmp/covertree_scaling"
-    pages_path = f"{base}/blobsv2_{n}"
+    # v3: float32 vec payloads (the engine's Atom type) — new path so
+    # stale float64 datasets from earlier rounds never get reused
+    pages_path = f"{base}/blobsv3_{n}"
     out = f"{base}/out"
     os.makedirs(out, exist_ok=True)
 
-    ceil = host_ceiling()
-    kceil = kernel_ceiling()
+    # ceiling probes BRACKET the engine runs (measured before AND
+    # after): this host is multi-tenant — a single front-loaded probe
+    # can land in a noisy window and poison the normalization (round-4
+    # observed the build-kernel probe at 0.31 efficiency while the
+    # ALU probe read 0.73 — external load, not the kernel). Per metric
+    # we keep the BEST (least-interfered) measurement, exactly like
+    # min-of-N on the engine phases.
+    ceil_a = host_ceiling()
+    kceil_a = kernel_ceiling()
     los, his = [], []
     for _ in range(args.runs):
         los.append(run_level(8, n, pages_path, out))
         his.append(run_level(32, n, pages_path, out))
+    ceil_b = host_ceiling()
+    kceil_b = kernel_ceiling()
+    ceil = max(ceil_a, ceil_b, key=lambda c: c["ceiling_efficiency_8_to_32"])
+
+    def _pick(pfx):
+        # take the WHOLE probe (times + efficiency) from whichever
+        # bracket saw less interference, so reported rows stay
+        # internally consistent
+        a_eff = kceil_a[f"{pfx}_efficiency_8_to_32"]
+        b_eff = kceil_b[f"{pfx}_efficiency_8_to_32"]
+        src = kceil_a if a_eff >= b_eff else kceil_b
+        return {k: src[k] for k in src if k.startswith(pfx)}
+
+    kceil = {**_pick("knn"), **_pick("build"),
+             "bracket": {"before": kceil_a, "after": kceil_b}}
     lo = _min_merge(los)
     hi = _min_merge(his)
     assert lo["knn_rows"] == hi["knn_rows"], "parallelism variance in rows!"
@@ -396,20 +420,22 @@ value checksum) — the reference's cross-rank equivalence property
 cells and all sampling are pure functions of the data, never of the
 partitioning.
 
-## What round 3 changed (and what the artifact shows)
+## What round 4 changed (and what the artifact shows)
 
-Round 2's kNN shuffled the ENTIRE home table per query batch. Round 3
-replaced that with the cogroup-aligned plan: the home side is read in
-place from the persisted hash(cell) layout (Exchange elided, verified
-in the physical plan) and only phase-1 candidates move — and ~90% of
-those ship a NULL vector (home-cell candidates are restored from the
-home block worker-side), so the per-query shuffle is now the
-foreign-cell fringe, ~200MB instead of ~1.7GB at 3M points. A racy
-AQE union double-compute in the top-k merge (two query stages racing
-on an unmaterialized persist — 2x dist_comps on one run in three) was
-pinned by eagerly materializing the per-cell partials. The remaining
-gap between raw engine efficiency and 1.0 tracks the KERNEL ceiling
-above — it is the host's shared memory system, not the plan.
+Round 3 killed the full home-table shuffle (cogroup-aligned plan:
+homes read in place, candidates-only shuffle, ~90% vec-elided) and
+pinned the racy AQE union double-compute. Round 4 attacks the byte
+volume itself: POINT PAYLOADS ARE FLOAT32 END-TO-END (the reference's
+Atom type, include/utils.h:17-18) — vectors ride the ingest shuffle,
+the persisted home cache, every Arrow transfer and the index blobs at
+4 bytes/dim, HALF of round 3's bytes through the shared memory system
+all four round-3 runs identified as the binding constraint. Kernels
+still widen to float64 (exact over f32-representable inputs), so
+outputs are unchanged and remain identical across parallelism. The
+kernel-ceiling probes are unchanged — the kernels' internal working
+set (f64 accumulation + f32 selection GEMM) is the same computation;
+what the f32 change removes is Spark-side transport bytes, which is
+exactly where the engine sat above the ceiling.
 
 ## Why this design scales on a real cluster
 

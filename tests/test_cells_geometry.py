@@ -148,3 +148,59 @@ def test_pip_concave():
     py = np.array([0.5, 0.5, 2.0, 3.0, 0.5])
     got = polygons.point_in_polygon(px, py, poly)
     assert got.tolist() == [True, True, False, True, True]
+
+
+def test_vecfile_readers_roundtrip(spark, tmp_path):
+    """fvecs/fbin/u8bin distributed readers (SURVEY S3): bytes written
+    in the reference's formats come back exactly, distributed over
+    many partitions, with ids = file row order."""
+    import numpy as np
+
+    from covertree_spark.sources import vecfiles as vf
+
+    rng = np.random.default_rng(5)
+    Xf = rng.normal(size=(101, 7)).astype(np.float32)
+    Xu = rng.integers(0, 256, size=(53, 5)).astype(np.uint8)
+
+    p_fvecs = str(tmp_path / "a.fvecs")
+    p_fbin = str(tmp_path / "a.fbin")
+    p_u8 = str(tmp_path / "a.u8bin")
+    vf.write_fvecs(p_fvecs, Xf)
+    vf.write_fbin(p_fbin, Xf)
+    vf.write_u8bin(p_u8, Xu)
+
+    assert vf.info_file(p_fvecs) == (101, 7, "float32")
+    assert vf.info_file(p_fbin) == (101, 7, "float32")
+    assert vf.info_file(p_u8) == (53, 5, "uint8")
+
+    for path, X in ((p_fvecs, Xf), (p_fbin, Xf), (p_u8, Xu.astype(np.float32))):
+        pdf = vf.read_vectors(spark, path, partitions=6).orderBy("id").toPandas()
+        got = np.stack(pdf["vec"].to_numpy())
+        assert pdf["id"].tolist() == list(range(len(X)))
+        assert np.array_equal(got, X)
+
+    # slicer semantics: rows [start, start+count), reference contract
+    sl = vf.read_vectors(spark, p_fvecs, start=40, count=25, partitions=4)
+    pdf = sl.orderBy("id").toPandas()
+    assert pdf["id"].tolist() == list(range(40, 65))
+    assert np.array_equal(np.stack(pdf["vec"].to_numpy()), Xf[40:65])
+
+
+def test_slice_points_pushdown(spark, tmp_path):
+    """slice_points (SURVEY S6) filters an id range and the predicate
+    reaches the parquet scan (PushedFilters)."""
+    from pyspark.sql import functions as F
+
+    from covertree_spark.sources.vecfiles import slice_points
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 2).alias("x")
+    )
+    path = str(tmp_path / "pts.parquet")
+    df.write.parquet(path)
+    pts = spark.read.parquet(path)
+    out = slice_points(pts, 100, 50)
+    rows = out.select("id").orderBy("id").collect()
+    assert [r["id"] for r in rows] == list(range(100, 150))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(id,100)" in plan

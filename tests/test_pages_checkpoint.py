@@ -154,3 +154,19 @@ def test_prepared_layout_warehouse_resume(spark, tmp_path, monkeypatch):
     finally:
         Q._PREP_CACHE.pop(key, None)
         Q._PREP_CACHE.update(saved)
+
+
+def test_warehouse_gc_removes_only_dangling(spark, tmp_path):
+    """gc() deletes data dirs whose manifest never committed (killed
+    mid-write) and never touches committed snapshots."""
+    wh = Warehouse(str(tmp_path / "wh"), run_id="t")
+    df = spark.range(0, 10).selectExpr("id", "id * 2 AS x")
+    out = wh.checkpoint(df, "tbl", "snapA")
+    assert out.count() == 10
+    # simulate a crash: data written, manifest missing
+    dangling = os.path.join(str(tmp_path / "wh"), "tbl", "data", "snapB")
+    df.write.mode("overwrite").parquet(dangling)
+    removed = wh.gc()
+    assert removed == [dangling]
+    assert not os.path.exists(dangling)
+    assert wh.read(spark, "tbl", "snapA").count() == 10
