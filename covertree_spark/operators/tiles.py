@@ -1,11 +1,14 @@
-"""Raster-tile assignment + tile rollups (BASELINE extension).
+"""Raster-tile assignment + tile rollups + raster<->vector bridges
+(BASELINE extension; north_rule names "raster<->vector" explicitly).
 
 A "tile" is the cell codec at a fixed zoom: assignment is a pure
 JVM-side projection (same SQL text as the oracle); the histogram is
 the load-bearing groupBy(count) the skew splitter consumes (reference
 A3, /root/reference/src/dist_point_vector.cpp:551-562). A raster
 window query (read all tiles in a lon/lat window) is partition
-pruning on the tile id range.
+pruning on the tile id range. ``polygon_tile_cover`` rasterizes a
+vector polygon into its covered tiles (center-sampling rule);
+``tile_bounds`` vectorizes tiles back into lon/lat boxes.
 """
 
 from __future__ import annotations
@@ -14,6 +17,114 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..core import cells as cellcodec
+
+
+def sql_tile_center_exprs(zoom: int, ix_col: str = "ix", iy_col: str = "iy"):
+    """(lon, lat) SQL fragments for a tile's CENTER, explicit-DOUBLE
+    arithmetic so Spark (which parses bare float literals as DECIMAL)
+    and DuckDB evaluate bit-identically."""
+    n = 1 << zoom
+    lon = (
+        f"(CAST({ix_col} AS DOUBLE) + CAST(0.5 AS DOUBLE)) * "
+        f"(CAST(360 AS DOUBLE) / CAST({n} AS DOUBLE)) - CAST(180 AS DOUBLE)"
+    )
+    lat = (
+        f"(CAST({iy_col} AS DOUBLE) + CAST(0.5 AS DOUBLE)) * "
+        f"(CAST(180 AS DOUBLE) / CAST({n} AS DOUBLE)) - CAST(90 AS DOUBLE)"
+    )
+    return lon, lat
+
+
+def _bbox_tile_range(poly, zoom: int):
+    """Clamped inclusive tile-index ranges covering the polygon bbox
+    (driver-side floats embedded as literals into BOTH engines)."""
+    import numpy as np
+
+    n = 1 << zoom
+    x0, x1 = float(poly[:, 0].min()), float(poly[:, 0].max())
+    y0, y1 = float(poly[:, 1].min()), float(poly[:, 1].max())
+    clamp = lambda v: int(min(max(v, 0), n - 1))
+    ix0 = clamp(np.floor((x0 + 180.0) / 360.0 * n))
+    ix1 = clamp(np.floor((x1 + 180.0) / 360.0 * n))
+    iy0 = clamp(np.floor((y0 + 90.0) / 180.0 * n))
+    iy1 = clamp(np.floor((y1 + 90.0) / 180.0 * n))
+    return ix0, ix1, iy0, iy1
+
+
+def polygon_tile_cover(
+    spark, polys, zoom: int, convex: bool = True
+) -> DataFrame:
+    """VECTOR -> RASTER: (poly_id, tile) for every tile at ``zoom``
+    whose CENTER lies inside the polygon (deterministic center-
+    sampling rasterization). Tiles are enumerated declaratively —
+    explode(sequence(...)) over the bbox index ranges, center test as
+    the SAME SQL predicate text the oracle runs — so Catalyst keeps
+    the whole pipeline JVM-side. Polygons are a broadcast-scale
+    dimension here; a polygon TABLE at scale would run the identical
+    per-row logic inside mapInPandas over its partitions."""
+    from functools import reduce
+
+    from ..core.polygons import sql_concave_predicate, sql_convex_predicate
+
+    n = 1 << zoom
+    lon_e, lat_e = sql_tile_center_exprs(zoom)
+    pred_of = sql_convex_predicate if convex else sql_concave_predicate
+    frames = []
+    for pid, poly in enumerate(polys):
+        ix0, ix1, iy0, iy1 = _bbox_tile_range(poly, zoom)
+        df = (
+            spark.range(1)
+            .select(F.explode(F.sequence(F.lit(ix0), F.lit(ix1))).alias("ix"))
+            .select("ix", F.explode(F.sequence(F.lit(iy0), F.lit(iy1))).alias("iy"))
+            .filter(F.expr(pred_of(lon_e, lat_e, poly)))
+            .select(
+                F.lit(pid).cast("bigint").alias("poly_id"),
+                (F.col("ix") * n + F.col("iy")).cast("bigint").alias("tile"),
+            )
+        )
+        frames.append(df)
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def sql_polygon_tile_cover(polys, zoom: int, convex: bool = True) -> str:
+    """DuckDB oracle for polygon_tile_cover: generate_series over the
+    same bbox ranges, identical center/predicate fragments."""
+    from ..core.polygons import sql_concave_predicate, sql_convex_predicate
+
+    n = 1 << zoom
+    lon_e, lat_e = sql_tile_center_exprs(zoom)
+    pred_of = sql_convex_predicate if convex else sql_concave_predicate
+    parts = []
+    for pid, poly in enumerate(polys):
+        ix0, ix1, iy0, iy1 = _bbox_tile_range(poly, zoom)
+        parts.append(
+            f"SELECT CAST({pid} AS BIGINT) AS poly_id, "
+            f"CAST(ix * {n} + iy AS BIGINT) AS tile "
+            f"FROM generate_series({ix0}, {ix1}) AS gx(ix), "
+            f"generate_series({iy0}, {iy1}) AS gy(iy) "
+            f"WHERE {pred_of(lon_e, lat_e, poly)}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def tile_bounds(tiles: DataFrame, zoom: int, tile_col: str = "tile") -> DataFrame:
+    """RASTER -> VECTOR: tile ids -> lon/lat bounding boxes
+    (tile, lon_min, lon_max, lat_min, lat_max), pure JVM arithmetic —
+    the inverse of assign_tiles (matches core.cells.cell_bounds)."""
+    n = 1 << zoom
+    ix = F.floor(F.col(tile_col) / n).cast("bigint")
+    iy = F.col(tile_col) % n
+    w_lon = 360.0 / n
+    w_lat = 180.0 / n
+    lon0 = ix * F.lit(w_lon) - F.lit(180.0)
+    lat0 = iy * F.lit(w_lat) - F.lit(90.0)
+    return tiles.select(
+        F.col(tile_col),
+        lon0.alias("lon_min"),
+        (lon0 + F.lit(w_lon)).alias("lon_max"),
+        lat0.alias("lat_min"),
+        (lat0 + F.lit(w_lat)).alias("lat_max"),
+    )
 
 
 def assign_tiles(points: DataFrame, zoom: int, lon_col="lon", lat_col="lat") -> DataFrame:

@@ -477,6 +477,34 @@ def sql_tile_histogram():
     return f"SELECT {t} AS tile, count(*) AS cnt FROM documents GROUP BY 1"
 
 
+COVER_Z = 6  # polygon rasterization zoom (64x64 grid)
+
+
+def q_tile_poly_cover(spark, sf_dir):
+    """VECTOR -> RASTER: rasterize the convex fixture polygons into
+    their covered tiles at COVER_Z (center-sampling rule) — the
+    north_rule's raster<->vector bridge, declarative end-to-end."""
+    return tiles.polygon_tile_cover(spark, PIP_POLYS, COVER_Z, convex=True)
+
+
+def sql_tile_poly_cover():
+    return tiles.sql_polygon_tile_cover(PIP_POLYS, COVER_Z, convex=True)
+
+
+def q_tile_poly_cover_concave(spark, sf_dir):
+    """Same rasterization over the CONCAVE fixtures (even-odd ray
+    crossing at each tile center)."""
+    return tiles.polygon_tile_cover(
+        spark, PIP_CONCAVE_POLYS, COVER_Z, convex=False
+    )
+
+
+def sql_tile_poly_cover_concave():
+    return tiles.sql_polygon_tile_cover(
+        PIP_CONCAVE_POLYS, COVER_Z, convex=False
+    )
+
+
 def _window_ranges():
     z = WINDOW_Z
     ix0 = int(cellcodec.cell_id(np.array([WINDOW_LON[0]]), np.array([0.0]), z)[0]) >> z
@@ -932,6 +960,11 @@ def catalog():
         "tile_assign": (q_tile_assign, sql_tile_assign()),
         "tile_histogram": (q_tile_histogram, sql_tile_histogram()),
         "tile_window": (q_tile_window, sql_tile_window()),
+        "tile_poly_cover": (q_tile_poly_cover, sql_tile_poly_cover()),
+        "tile_poly_cover_concave": (
+            q_tile_poly_cover_concave,
+            sql_tile_poly_cover_concave(),
+        ),
         "emb_ball_join": (q_emb_ball_join, sql_emb_ball_join()),
         "emb_knn": (q_emb_knn, sql_emb_knn()),
         "cosine_topk": (q_cosine_topk, sql_cosine_topk()),

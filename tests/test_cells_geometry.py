@@ -204,3 +204,67 @@ def test_slice_points_pushdown(spark, tmp_path):
     assert [r["id"] for r in rows] == list(range(100, 150))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThanOrEqual(id,100)" in plan
+
+
+def test_polygon_tile_cover_matches_numpy(spark):
+    """Vector->raster: the declarative tile cover equals a numpy
+    rasterization (same center-sampling rule), convex AND concave."""
+    import numpy as np
+
+    from covertree_spark.core.polygons import (
+        concave_fixture_polygons,
+        convex_fixture_polygons,
+        point_in_convex,
+        point_in_polygon,
+    )
+    from covertree_spark.operators.tiles import polygon_tile_cover
+
+    z = 5
+    n = 1 << z
+    for polys, convex, test in (
+        (convex_fixture_polygons(3), True, point_in_convex),
+        (concave_fixture_polygons(3), False, point_in_polygon),
+    ):
+        got = sorted(
+            (r["poly_id"], r["tile"])
+            for r in polygon_tile_cover(spark, polys, z, convex=convex).collect()
+        )
+        exp = []
+        for pid, poly in enumerate(polys):
+            x0, x1 = poly[:, 0].min(), poly[:, 0].max()
+            y0, y1 = poly[:, 1].min(), poly[:, 1].max()
+            cl = lambda v: int(min(max(v, 0), n - 1))
+            ix = np.arange(cl(np.floor((x0 + 180) / 360 * n)),
+                           cl(np.floor((x1 + 180) / 360 * n)) + 1)
+            iy = np.arange(cl(np.floor((y0 + 90) / 180 * n)),
+                           cl(np.floor((y1 + 90) / 180 * n)) + 1)
+            gx, gy = np.meshgrid(ix, iy, indexing="ij")
+            clon = (gx.ravel() + 0.5) * (360.0 / n) - 180.0
+            clat = (gy.ravel() + 0.5) * (180.0 / n) - 90.0
+            hit = test(clon, clat, poly)
+            for t in (gx.ravel()[hit] * n + gy.ravel()[hit]):
+                exp.append((pid, int(t)))
+        assert got == sorted(exp)
+        assert len(got) > 0
+
+
+def test_tile_bounds_inverse_of_assign(spark):
+    """Raster->vector: tile_bounds equals the codec's cell_bounds and
+    re-encoding any bounds center recovers the tile."""
+    import numpy as np
+
+    from covertree_spark.core import cells as cc
+    from covertree_spark.operators.tiles import tile_bounds
+
+    z = 4
+    tiles_df = spark.range(0, cc.num_cells(z)).selectExpr("id AS tile")
+    pdf = tile_bounds(tiles_df, z).orderBy("tile").toPandas()
+    lon0, lon1, lat0, lat1 = cc.cell_bounds(pdf["tile"].to_numpy(), z)
+    assert np.allclose(pdf["lon_min"], lon0) and np.allclose(pdf["lon_max"], lon1)
+    assert np.allclose(pdf["lat_min"], lat0) and np.allclose(pdf["lat_max"], lat1)
+    mid = cc.cell_id(
+        (pdf["lon_min"] + pdf["lon_max"]).to_numpy() / 2,
+        (pdf["lat_min"] + pdf["lat_max"]).to_numpy() / 2,
+        z,
+    )
+    assert np.array_equal(mid, pdf["tile"].to_numpy())
