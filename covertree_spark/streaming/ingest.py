@@ -78,3 +78,63 @@ def windowed_cell_counts(pages: DataFrame, res: int, window: str = "1 hour") -> 
         .groupBy(F.window("warc_ts", window), F.col("cell"))
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def stream_dedup_pages(pages: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Streaming EXACT dedup: first occurrence of each distinct text
+    survives — the incremental form of ``dedup.exact_dedup_keep``.
+    Spark-first: the state store keyed on the 256-bit content hash IS
+    the dedup set, via the built-in dropDuplicates operator (no custom
+    state code for semantics a built-in covers). With ``watermark``
+    (e.g. "2 hours"), duplicates are only suppressed within the
+    watermark horizon and state is evicted — the bounded-state mode a
+    10^12-row ingest needs; without it, state grows with the distinct
+    count (exact global dedup, small corpora only)."""
+    hashed = pages.withColumn("_h", F.sha2(F.col("text"), 256))
+    if watermark is not None:
+        return (
+            hashed.withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["_h"])
+            .drop("_h")
+        )
+    return hashed.dropDuplicates(["_h"]).drop("_h")
+
+
+def stateful_cell_profile(pts: DataFrame) -> DataFrame:
+    """CUSTOM stateful operator (applyInPandasWithState): running
+    per-cell profile (count + lon/lat centroid) maintained across
+    micro-batches — the incremental form of ``partition.cell_stats``'
+    first pass. Genuinely order-dependent state (running sums), i.e.
+    not expressible as a plain streaming aggregate with the same
+    update-per-batch output, which is why it exercises the custom-
+    state API instead of groupBy().agg(). Emits one updated row per
+    touched cell per micro-batch (outputMode='update')."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "cell bigint, cnt bigint, lon_c double, lat_c double"
+    state_schema = "cnt bigint, slon double, slat double"
+
+    def update_fn(key, pdfs, state):
+        cnt, slon, slat = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            slon += float(pdf["lon"].sum())
+            slat += float(pdf["lat"].sum())
+        state.update((cnt, slon, slat))
+        yield pd.DataFrame(
+            {
+                "cell": [key[0]],
+                "cnt": [cnt],
+                "lon_c": [slon / cnt],
+                "lat_c": [slat / cnt],
+            }
+        )
+
+    return pts.groupBy("cell").applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -75,3 +75,80 @@ def test_real_mode_raises(spark):
     pages = generate_pages(spark, 5, partitions=1)
     with pytest.raises(Exception, match="NotImplementedError|real image"):
         mm.image_metadata(pages, deterministic_fake=False).collect()
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup (state-store keyed on the content hash)
+    keeps exactly one row per distinct text across micro-batches —
+    equal to the batch keep-set."""
+    from covertree_spark.streaming.ingest import read_pages_stream, stream_dedup_pages
+
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches (maxFilesPerTrigger=8 but write
+    # duplicates ACROSS files so cross-batch state matters)
+    p1 = generate_pages(spark, 120, partitions=1)
+    p1.write.parquet(src)
+    p1.withColumn("id", F.col("id") + 10_000).write.mode("append").parquet(src)
+
+    out = stream_dedup_pages(read_pages_stream(spark, src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT text FROM dedup_sink").collect()
+    batch_distinct = spark.read.parquet(src).select("text").distinct().count()
+    assert len(got) == batch_distinct
+    assert len({r["text"] for r in got}) == len(got)
+
+
+def test_stateful_cell_profile_matches_batch(spark, tmp_path):
+    """applyInPandasWithState running per-cell profile: after draining
+    all micro-batches, the LAST update per cell equals the batch
+    count + centroid (state carried across batches)."""
+    from covertree_spark.streaming.ingest import (
+        read_pages_stream,
+        stateful_cell_profile,
+        stream_points,
+    )
+
+    src = str(tmp_path / "src")
+    generate_pages(spark, 200, partitions=1).write.parquet(src)
+    generate_pages(spark, 150, partitions=1).withColumn(
+        "id", F.col("id") + 50_000
+    ).write.mode("append").parquet(src)
+
+    pts = stream_points(read_pages_stream(spark, src), res=3)
+    prof = stateful_cell_profile(pts.select("cell", "lon", "lat"))
+    q = (
+        prof.writeStream.format("memory")
+        .queryName("prof_sink")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    upd = spark.sql("SELECT * FROM prof_sink").toPandas()
+    # last update per cell (updates arrive in batch order; take max cnt)
+    last = upd.sort_values("cnt").groupby("cell").last()
+
+    batch = (
+        stream_points(spark.read.parquet(src), res=3)
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.avg("lon").alias("lon_c"),
+            F.avg("lat").alias("lat_c"),
+        )
+        .toPandas()
+        .set_index("cell")
+        .sort_index()
+    )
+    assert last["cnt"].sort_index().equals(batch["cnt"])
+    assert np.allclose(last["lon_c"].sort_index(), batch["lon_c"], atol=1e-9)
+    assert np.allclose(last["lat_c"].sort_index(), batch["lat_c"], atol=1e-9)
