@@ -139,6 +139,7 @@ def knn_self_join(
     queries: DataFrame | None = None,
     brute_cutoff: int = 1024,
     stats: CellStats | None = None,
+    merge: str = "auto",
 ) -> DataFrame:
     """Exact kNN of every query against ``points`` (self-join by
     default: queries = points, self-pairs excluded). Returns
@@ -218,7 +219,7 @@ def knn_self_join(
             .cogroup(home_g.groupby("cell"))
             .applyInPandas(counted_fn(per_cell_cg), schema=PART_SCHEMA)
         )
-        return _merge_topk(parts, k)
+        return _merge_topk(parts, k, _merge_mode(stats, k, merge))
 
     home = points.select(F.col(cell_col).alias("cell"), "id", "vec")
     tagged_home = home.select(
@@ -245,24 +246,52 @@ def knn_self_join(
 
     parts = grouped_apply(assigned, "cell", per_cell, PART_SCHEMA, strategy=strategy,
                           num_partitions=nparts)
-    return _merge_topk(parts, k)
+    return _merge_topk(parts, k, _merge_mode(stats, k, merge))
 
 
-def _merge_topk(parts: DataFrame, k: int) -> DataFrame:
+# below this many expected partial rows (~n x k), the one-pass window
+# merge beats the split: the split's persist + eager count cost two
+# extra jobs + a cache write that dwarf the small window shuffle
+# (A/B at sf0.1: 1.15s vs 1.76s warm)
+SMALL_MERGE_ROWS = 4_000_000
+
+
+def _merge_topk(parts: DataFrame, k: int, mode: str = "split") -> DataFrame:
     """Global top-k merge of per-cell partial results.
 
-    Single-candidate-cell queries: the per-cell local rank IS the
-    global rank (no other cell can contribute) — they skip the merge
-    shuffle entirely; only multi-cell queries pay the window.
+    ``mode="split"`` (the SCALE plan): single-candidate-cell queries'
+    per-cell local rank IS the global rank (no other cell can
+    contribute) — they skip the merge shuffle entirely; only
+    multi-cell queries pay the window. On clustered data that keeps
+    ~90% of the n x k partial rows out of the merge Exchange — at
+    10^12 rows the difference between shuffling the fringe and
+    shuffling a table. ``parts`` is persisted AND eagerly materialized
+    first: the single/multi split reads it from TWO branches of a
+    union, and under AQE those branches compile to INDEPENDENT query
+    stages that can run concurrently — each misses the still-empty
+    cache and re-executes the reduce-side phase-2 kernels (a RACY
+    double-compute: the same plan measured 31s on two runs and 59s/2x
+    dist_comps on a third). The count() pins the cache before either
+    branch reads it.
 
-    ``parts`` is persisted AND eagerly materialized first: the
-    single/multi split reads it from TWO branches of a union, and
-    under AQE those branches compile to INDEPENDENT query stages that
-    can run concurrently — each misses the still-empty cache and
-    re-executes the reduce-side phase-2 kernels (a RACY double-compute:
-    the same plan measured 31s on two runs and 59s/2x dist_comps on a
-    third). The count() pins the cache before either branch reads it;
-    the extra pass is a cached columnar scan, ~1% of the kernel cost."""
+    ``mode="window"`` (the SMALL plan): one unconditional window pass
+    — a single consumer, so no persist, no eager count, no race
+    hazard at all; correct at any size but shuffles every partial
+    row. Callers pick via the expected row count (SMALL_MERGE_ROWS)."""
+    if mode == "window":
+        w = Window.partitionBy("qid").orderBy(
+            F.col("dist").asc(), F.col("nid").asc()
+        )
+        return (
+            parts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("qid").alias("src"),
+                F.col("nid").alias("dst"),
+                F.col("rank").cast("int").alias("rank"),
+                F.col("dist"),
+            )
+        )
     parts = mark_releasable(parts.persist())
     parts.count()
     single = parts.filter(F.col("ncand") <= 1).select(
@@ -281,6 +310,13 @@ def _merge_topk(parts: DataFrame, k: int) -> DataFrame:
         F.col("rank").cast("int").alias("rank"),
         F.col("dist"),
     )
+
+
+def _merge_mode(stats: CellStats, k: int, merge: str) -> str:
+    if merge in ("split", "window"):
+        return merge
+    n = int(stats.counts.sum())
+    return "window" if n * max(1, k) <= SMALL_MERGE_ROWS else "split"
 
 
 def make_phase1(stats_bc, need: int):
@@ -415,6 +451,7 @@ def knn_over_index(
     stats: CellStats,
     self_join: bool = True,
     brute_cutoff: int = 1024,
+    merge: str = "auto",
 ) -> DataFrame:
     """Exact kNN answered from a PERSISTED per-cell cover-tree index
     (operators/index.build_trees output read back from parquet) —
@@ -486,4 +523,4 @@ def knn_over_index(
         .cogroup(trees.groupby("cell"))
         .applyInPandas(counted_fn(per_cell), schema=PART_SCHEMA)
     )
-    return _merge_topk(parts, k)
+    return _merge_topk(parts, k, _merge_mode(stats, k, merge))

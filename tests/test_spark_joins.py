@@ -344,3 +344,33 @@ def test_voronoi_centers_exact_deep_k_parity(spark):
         cs.append(X[far])
         mind = np.minimum(mind, dists_to(X, X[far]))
     assert np.array_equal(got, np.stack(cs))
+
+
+@pytest.mark.parametrize("merge", ["split", "window"])
+def test_geo_knn_merge_mode_parity(spark, geo_points, geo_numpy, merge):
+    """Both merge plans (scale split vs small-table single window)
+    must produce the identical ranked answer set; 'auto' picks by the
+    expected partial-row count."""
+    X, ids = geo_numpy
+    k = 5
+    got = knn_self_join(geo_points, k=k, d=3, merge=merge)
+    rows = sorted(
+        (r["src"], r["rank"], r["dst"]) for r in got.select("src", "rank", "dst").collect()
+    )
+    qs, ps, _d = brute_knn(X, X, k, exclude_self_idx=np.arange(len(X)))
+    expected = sorted(
+        (int(ids[q]), int(r), int(ids[p]))
+        for q, p, r in zip(qs, ps, list(_local_rank_of(qs)))
+    )
+    assert rows == expected
+
+
+def _local_rank_of(qs):
+    out = []
+    prev = None
+    r = 0
+    for q in qs:
+        r = r + 1 if q == prev else 1
+        prev = q
+        out.append(r)
+    return out
