@@ -884,6 +884,49 @@ def sql_events_top_users():
     )
 
 
+SESSION_GAP_US = 1800 * 1_000_000  # 30 min, in exact integer microseconds
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: per user, a gap > 30 min starts a new session;
+    output (event_id, user_id, sess) with sess = 1-based session index.
+    Gap arithmetic is MICROSECOND-EXACT integers in both engines
+    (Spark unix_micros vs DuckDB epoch_us — second-truncating
+    functions would disagree on fractional-second gaps); ordering ties
+    break on event_id."""
+    from pyspark.sql import Window
+
+    ev = src.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # parquet ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+    # cast to TIMESTAMP preserves the wall-clock instant and
+    # unix_micros matches DuckDB's epoch_us on the naive value exactly
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > F.lit(SESSION_GAP_US)), F.lit(1)
+    ).otherwise(F.lit(0))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(new_sess).over(wcum).cast("bigint").alias("sess"),
+    )
+
+
+def sql_events_sessionize():
+    return (
+        "WITH o AS (SELECT event_id, user_id, ts, "
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL "
+        f"OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US} "
+        "THEN 1 ELSE 0 END AS ns FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) "
+        "SELECT event_id, user_id, CAST(sum(ns) OVER ("
+        "PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM o"
+    )
+
+
 def q_events_rollup(spark, sf_dir):
     """Hourly rollup over the events table: count + exact distinct
     users per (hour bucket, event_type). Timestamp bucketing + distinct
@@ -978,6 +1021,7 @@ def catalog():
         "knn_over_index": (q_knn_over_index, sql_geo_knn()),
         "geo_degree_hist": (q_geo_degree_hist, sql_geo_degree_hist()),
         "events_rollup": (q_events_rollup, sql_events_rollup()),
+        "events_sessionize": (q_events_sessionize, sql_events_sessionize()),
         "dedup_keep": (q_dedup_keep, sql_dedup_keep()),
         "quality_filter": (q_quality_filter, sql_quality_filter()),
         "lang_predict": (q_lang_predict, sql_lang_predict()),
