@@ -42,6 +42,16 @@ def point_in_convex(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.ndar
     return np.all(cross >= 0.0, axis=1)
 
 
+def _dlit(v: float) -> str:
+    """Vertex literal as explicit DOUBLE: Spark and DuckDB both parse a
+    bare decimal literal as DECIMAL, and decimal-exact subtraction need
+    not equal the numpy kernel's float64 op in the last ulp (round-4
+    ADVICE). repr() emits the shortest round-tripping digits, so the
+    nearest double to the decimal IS the original float — the CAST
+    recovers bit-identical float64 arithmetic in both engines."""
+    return f"CAST({float(v)!r} AS DOUBLE)"
+
+
 def sql_convex_predicate(lon_expr: str, lat_expr: str, poly: np.ndarray) -> str:
     """SQL predicate equivalent to point_in_convex (same op order)."""
     terms = []
@@ -50,8 +60,9 @@ def sql_convex_predicate(lon_expr: str, lat_expr: str, poly: np.ndarray) -> str:
         x1, y1 = poly[i]
         x2, y2 = poly[(i + 1) % m]
         terms.append(
-            f"(({x2!r} - {x1!r}) * (({lat_expr}) - {y1!r}) - "
-            f"({y2!r} - {y1!r}) * (({lon_expr}) - {x1!r})) >= 0.0"
+            f"(({_dlit(x2)} - {_dlit(x1)}) * (({lat_expr}) - {_dlit(y1)}) - "
+            f"({_dlit(y2)} - {_dlit(y1)}) * (({lon_expr}) - {_dlit(x1)})) "
+            ">= CAST(0 AS DOUBLE)"
         )
     return "(" + " AND ".join(terms) + ")"
 
@@ -63,16 +74,20 @@ def sql_concave_predicate(lon_expr: str, lat_expr: str, poly: np.ndarray) -> str
     ``xint = x1 + (lat - y1) / (y2 - y1) * (x2 - x1)`` and a crossing
     counts when the edge straddles the ray AND lon < xint. The
     division is guarded by a nested CASE (evaluated only when the edge
-    straddles, which implies y1 != y2 — numpy masks the same lanes)."""
+    straddles, which implies y1 != y2 — numpy masks the same lanes).
+    Vertex literals are explicit DOUBLE (_dlit) so both engines run the
+    numpy kernel's float64 ops, not decimal arithmetic."""
     terms = []
     m = len(poly)
     for i in range(m):
         x1, y1 = poly[i]
         x2, y2 = poly[(i + 1) % m]
-        straddle = f"(({y1!r} > ({lat_expr})) <> ({y2!r} > ({lat_expr})))"
+        straddle = (
+            f"(({_dlit(y1)} > ({lat_expr})) <> ({_dlit(y2)} > ({lat_expr})))"
+        )
         xint = (
-            f"{x1!r} + (({lat_expr}) - {y1!r}) / ({y2!r} - {y1!r})"
-            f" * ({x2!r} - {x1!r})"
+            f"{_dlit(x1)} + (({lat_expr}) - {_dlit(y1)}) / "
+            f"({_dlit(y2)} - {_dlit(y1)}) * ({_dlit(x2)} - {_dlit(x1)})"
         )
         terms.append(
             f"(CASE WHEN {straddle} THEN "

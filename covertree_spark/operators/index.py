@@ -33,7 +33,8 @@ from ..sources.tables import vec_matrix
 TREE_SCHEMA = (
     "cell bigint, n bigint, childarr binary, childptrs binary, "
     "centers binary, radii binary, ids binary, "
-    "points binary, centroid array<double>, circumradius double"
+    "points binary, ptype string, centroid array<double>, "
+    "circumradius double"
 )
 
 
@@ -55,6 +56,17 @@ def build_trees(
         # self-describing — see stats_from_trees)
         centroid = X.mean(axis=0)
         circ = float(np.sqrt(ct.pairwise_sq_dists(X, centroid[None, :]).max()))
+        # f32 narrowing ONLY when exact for this block (round-4 ADVICE:
+        # silently-lossy points against exact f64 radii can violate the
+        # covering invariant by ~1e-7 and drop true neighbors). The
+        # per-block check is one O(n*d) pass next to the tree build;
+        # non-representable inputs keep full-width blobs, flagged in
+        # the row (``ptype``) so tree_from_row widens correctly.
+        X4 = X.astype("<f4")
+        if np.array_equal(X4.astype(np.float64), X):
+            blob, ptype = X4.ravel().tobytes(), "f4"
+        else:
+            blob, ptype = X.astype("<f8").ravel().tobytes(), "f8"
         return pd.DataFrame(
             {
                 "cell": [np.int64(cell)],
@@ -64,7 +76,8 @@ def build_trees(
                 "centers": [tree.centers.astype("<i8").tobytes()],
                 "radii": [tree.radii.astype("<f8").tobytes()],
                 "ids": [pdf["id"].to_numpy().astype("<i8").tobytes()],
-                "points": [X.astype("<f4").ravel().tobytes()],
+                "points": [blob],
+                "ptype": [ptype],
                 "centroid": [centroid],
                 "circumradius": [circ],
             }
@@ -111,10 +124,11 @@ def tree_from_row(row) -> tuple[ct.CoverTree, np.ndarray, np.ndarray]:
     )
     ids = np.frombuffer(row["ids"], dtype="<i8")
     n = int(row["n"])
-    # widen once per block: exact (values are f32-representable) and
-    # O(n*d) next to the query GEMMs this block feeds
+    # widen once per block: exact by construction — build_trees stores
+    # f4 only when the block round-trips (ptype records the choice)
+    dt = "<f4" if row["ptype"] == "f4" else "<f8"
     pts = (
-        np.frombuffer(row["points"], dtype="<f4")
+        np.frombuffer(row["points"], dtype=dt)
         .reshape(n, -1)
         .astype(np.float64)
     )

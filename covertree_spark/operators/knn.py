@@ -140,6 +140,7 @@ def knn_self_join(
     brute_cutoff: int = 1024,
     stats: CellStats | None = None,
     merge: str = "auto",
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Exact kNN of every query against ``points`` (self-join by
     default: queries = points, self-pairs excluded). Returns
@@ -219,7 +220,7 @@ def knn_self_join(
             .cogroup(home_g.groupby("cell"))
             .applyInPandas(counted_fn(per_cell_cg), schema=PART_SCHEMA)
         )
-        return _merge_topk(parts, k, _merge_mode(stats, k, merge))
+        return _merge_topk(parts, k, _merge_mode(stats, k, merge, nq=n_queries))
 
     home = points.select(F.col(cell_col).alias("cell"), "id", "vec")
     tagged_home = home.select(
@@ -246,7 +247,7 @@ def knn_self_join(
 
     parts = grouped_apply(assigned, "cell", per_cell, PART_SCHEMA, strategy=strategy,
                           num_partitions=nparts)
-    return _merge_topk(parts, k, _merge_mode(stats, k, merge))
+    return _merge_topk(parts, k, _merge_mode(stats, k, merge, nq=n_queries))
 
 
 # below this many expected partial rows (~n x k), the one-pass window
@@ -312,10 +313,18 @@ def _merge_topk(parts: DataFrame, k: int, mode: str = "split") -> DataFrame:
     )
 
 
-def _merge_mode(stats: CellStats, k: int, merge: str) -> str:
+def _merge_mode(
+    stats: CellStats, k: int, merge: str, nq: int | None = None
+) -> str:
+    """``merge="auto"`` sizes the split/window choice from the EXPECTED
+    partial rows ~ (#queries x k). Without ``nq`` that defaults to the
+    points-table count — exact for self-joins, conservative for an
+    explicit small query set over a large table (round-4 ADVICE: such
+    callers pass ``n_queries`` to knn_self_join/knn_over_index; a
+    .count() job here would cost more than the misprediction)."""
     if merge in ("split", "window"):
         return merge
-    n = int(stats.counts.sum())
+    n = int(stats.counts.sum()) if nq is None else int(nq)
     return "window" if n * max(1, k) <= SMALL_MERGE_ROWS else "split"
 
 
@@ -452,6 +461,7 @@ def knn_over_index(
     self_join: bool = True,
     brute_cutoff: int = 1024,
     merge: str = "auto",
+    n_queries: int | None = None,
 ) -> DataFrame:
     """Exact kNN answered from a PERSISTED per-cell cover-tree index
     (operators/index.build_trees output read back from parquet) —
@@ -523,4 +533,4 @@ def knn_over_index(
         .cogroup(trees.groupby("cell"))
         .applyInPandas(counted_fn(per_cell), schema=PART_SCHEMA)
     )
-    return _merge_topk(parts, k, _merge_mode(stats, k, merge))
+    return _merge_topk(parts, k, _merge_mode(stats, k, merge, nq=n_queries))

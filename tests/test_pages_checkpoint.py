@@ -166,7 +166,12 @@ def test_warehouse_gc_removes_only_dangling(spark, tmp_path):
     # simulate a crash: data written, manifest missing
     dangling = os.path.join(str(tmp_path / "wh"), "tbl", "data", "snapB")
     df.write.mode("overwrite").parquet(dangling)
-    removed = wh.gc()
+    # default grace window: a just-written dangling dir could be another
+    # session mid-commit — gc must leave it alone (round-4 ADVICE)
+    assert wh.gc() == []
+    assert os.path.exists(dangling)
+    # no runs in flight: grace 0 sweeps it
+    removed = wh.gc(grace_s=0)
     assert removed == [dangling]
     assert not os.path.exists(dangling)
     assert wh.read(spark, "tbl", "snapA").count() == 10
