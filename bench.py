@@ -4,14 +4,28 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "q/s", "queries": {...}, "sf": ...}
 
-Protocol (round-2 VERDICT #1/#3/#8): every query runs TWICE per
-invocation — the first (cold) run pays plan compilation + python-worker
-spin-up, the second (warm) run is the steady-state cost a long-lived
-deployment sees. ``queries`` carries the WARM times (min over runs);
-``cold`` carries the first-run times; the headline q/s is computed from
-the warm geo_knn. The reference itself times per-method runs and
-max-reduces across ranks (timer.cpp:40-44) — min-of-N over repeated
-runs is the local-mode analog on a noisy multi-tenant host.
+Measurement protocol (round-4 VERDICT #1 — the bracketed discipline
+scaling.py already uses):
+
+  * ALTERNATING FULL PASSES, not per-query rep loops: pass 0 is cold
+    (plan compile + python-worker spin-up, also the dist_comps /
+    udf_wall_s source); passes 1..P-1 are warm. A query's warm time is
+    the min across passes, so a noisy-host window hits ONE pass of
+    every query instead of every rep of one query — r4's 1.7-2.75x
+    "regressions" were exactly min-of-3-in-one-window landing inside
+    an interference burst.
+  * BRACKETED HOST PROBES: a fixed pure-numpy GEMM-top-k kernel
+    (memory-bus-bound, the same resource the engine's kernels contend
+    on) runs before/between/after the warm passes. The probe spread
+    (max/min) is the in-run interference measurement: a query whose
+    warm time regresses while the probes are flat is a real
+    regression; one whose window shows probe spread >> 1 is host
+    noise, and the artifact now proves which.
+  * LOSS-PROOF ARTIFACT: the full JSON (per-pass times, probes, IVF
+    sweep) is WRITTEN TO BENCH/last_bench.json; stdout carries a
+    compact line (headline + warm times) sized well inside the
+    driver's tail capture — BENCH_r04.json was parsed:null because
+    the one stdout line outgrew it.
 
 The headline metric is exact-kNN throughput (queries/sec, k=10) — the
 BASELINE.json target. Scaling-efficiency evidence (local[8] vs
@@ -20,8 +34,7 @@ local[32]) lives in scaling.py -> BENCH/BASELINE.md.
 Per query the report also carries the reference's efficiency metrics
 (include/point_vector.h:11, dist_point_vector.h:23-25): ``dist_comps``
 (metric evaluations) and ``udf_wall_s`` (total wall seconds inside
-pandas-UDF kernels across all tasks — the comp side; warm wall time x
-cores minus it approximates shuffle + JVM + scheduling).
+pandas-UDF kernels across all tasks — the comp side).
 """
 
 from __future__ import annotations
@@ -30,6 +43,8 @@ import json
 import os
 import sys
 import time
+
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -41,9 +56,12 @@ from covertree_spark.plans.session import (  # noqa: E402
     release_intermediates,
 )
 
+REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+# total passes (1 cold + N-1 warm); 4 warm passes spread across the
+# run give min-of-4 with interleaved noise exposure
+PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 BENCH_QUERIES = [
     "geo_knn",
@@ -60,6 +78,28 @@ BENCH_QUERIES = [
     "tile_histogram",
     "pip_convex",
 ]
+
+
+def host_probe() -> float:
+    """Seconds for a FIXED memory-bus-bound kernel (GEMM + top-k over
+    ~30 MB of f64) — the in-run interference gauge. Single process:
+    external tenants inflate this number exactly as they inflate the
+    engine's pandas-UDF kernels. Deterministic input, best-of-2 inner
+    reps (the probe measures the host, not allocator warmup)."""
+    rng = np.random.default_rng(7)
+    H = rng.normal(size=(30000, 64))
+    Qm = rng.normal(size=(1024, 64))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        d2 = (
+            (Qm * Qm).sum(1)[:, None]
+            - 2.0 * (Qm @ H.T)
+            + (H * H).sum(1)[None, :]
+        )
+        np.argpartition(d2, 10, axis=1)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def main() -> None:
@@ -87,106 +127,123 @@ def main() -> None:
         prep[kind] = round(time.time() - t0, 3)
     release_intermediates()  # prep-phase transients (outside any scope)
 
-    timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     counts: dict[str, int] = {}
     dist_comps: dict[str, int] = {}
     udf_wall: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    warm_passes: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+    probes: list[float] = []
+
+    def run_one(name: str) -> float:
         fn, _sql = cat[name]
-        best = float("inf")
-        for rep in range(max(2, RUNS)):
-            # fresh accumulators per run (reference efficiency metric,
-            # include/point_vector.h:11 via rgraph.py:168-176);
-            # install BEFORE plan build so UDF closures capture them
-            meters = M.install(spark)
-            snap = M.driver_snapshot()
-            t0 = time.time()
-            # scoped release (round-3 VERDICT #6): each run's operator
-            # persists live in their own scope, released after the
-            # result materializes — interleave-safe by construction
-            with ReleaseScope() as rs:
-                counts[name] = fn(spark, SF_DIR).count()
-            dt = time.time() - t0
-            rs.release()
-            if rep == 0:
-                cold[name] = round(dt, 3)
-                # dist_comps/udf_wall from the cold run: identical
-                # plan, and warm-run accumulators double-count nothing
-                dist_comps[name] = int(meters.value) + M.driver_delta(snap)
-                udf_wall[name] = round(meters.udf_wall, 3)
-            else:
-                best = min(best, dt)
-        timings[name] = round(best, 3)
+        t0 = time.time()
+        with ReleaseScope() as rs:
+            n_rows = fn(spark, SF_DIR).count()
+        dt = time.time() - t0
+        rs.release()
+        counts.setdefault(name, n_rows)
+        return dt
+
+    # pass 0 — cold, with fresh accumulators (reference efficiency
+    # metric, include/point_vector.h:11 via rgraph.py:168-176);
+    # install BEFORE plan build so UDF closures capture them
+    for name in BENCH_QUERIES:
+        meters = M.install(spark)
+        snap = M.driver_snapshot()
+        cold[name] = round(run_one(name), 3)
+        dist_comps[name] = int(meters.value) + M.driver_delta(snap)
+        udf_wall[name] = round(meters.udf_wall, 3)
+
+    # warm passes, bracketed: probe -> full pass -> probe -> ...
+    host_probe()  # throwaway: page-fault/allocator warmup is not host noise
+    for _p in range(max(1, PASSES - 1)):
+        probes.append(host_probe())
+        for name in BENCH_QUERIES:
+            warm_passes[name].append(round(run_one(name), 3))
+    probes.append(host_probe())
+
+    timings = {n: min(ts) for n, ts in warm_passes.items()}
 
     # IVF quality evidence: recall@5 vs the exact cosine top-k at this
-    # sf, across nprobe (the accuracy/cost dial a user actually turns).
-    # The index is built ONCE (the amortized prep, like the cover-tree
-    # warehouse); each sweep point is a query-only cogroup pass. The
-    # sweep walks nprobe upward until recall >= 0.9 — the round-3
-    # VERDICT asked for a documented dial reaching pipeline-grade
-    # recall, with its cost (random d=64 embeddings are the IVF
-    # worst case: no cluster structure, so the >=0.9 point sits at a
-    # large fraction of nlist; clustered corpora reach it far earlier).
+    # sf, across nprobe (the accuracy/cost dial), PLUS the index's own
+    # build-time-calibrated dial (round-4 VERDICT #2 — the catalog
+    # default). Index built ONCE (amortized prep); each sweep point is
+    # a query-only cogroup pass.
     from covertree_spark.operators import similarity as _sim
 
+    # ground truth for the sweep: bounded driver collect of k x n_docs
+    # exact pairs — fine at bench sf, NOT a pattern for 10^9-query use
+    # (production recall checks sample, as calibrate_nprobe does)
     exact5 = {
         (r["src"], r["dst"])
         for r in cat["cosine_topk"][0](spark, SF_DIR).collect()
     }
     release_intermediates()
-    ivf_recall = {}
-    ivf_pts, ivf_centers = Q._ivf_index(spark, SF_DIR)
-    nlist = len(ivf_centers)
-    dial90 = None
-    for nprobe in (4, 8, 16, 24, 32, 48, 64):
-        if nprobe > nlist:
-            break
+    ivf_recall: dict[str, object] = {}
+    idx = Q._ivf_index(spark, SF_DIR)
+    nlist = len(idx.centers)
+
+    def sweep_point(nprobe: int) -> tuple[float, float]:
         t0 = time.time()
         with ReleaseScope() as rs:
             got = {
                 (r["src"], r["dst"])
                 for r in _sim.ivf_topk_over(
-                    ivf_pts, ivf_centers, k=5, nprobe=nprobe
+                    idx.pts, idx.centers, k=5, nprobe=nprobe
                 ).collect()
             }
-        rec = len(got & exact5) / len(exact5)
-        ivf_recall[f"nprobe={nprobe}"] = {
-            "recall": round(rec, 4), "sec": round(time.time() - t0, 3),
-        }
+        sec = time.time() - t0
         rs.release()
-        if rec >= 0.9:
-            dial90 = {"nprobe": nprobe, "nlist": nlist,
-                      "recall": round(rec, 4),
-                      "sec": ivf_recall[f"nprobe={nprobe}"]["sec"]}
+        return len(got & exact5) / len(exact5), sec
+
+    for nprobe in (4, 8, 16, 24, 32, 48, 64):
+        if nprobe > nlist:
             break
+        rec, sec = sweep_point(nprobe)
+        ivf_recall[f"nprobe={nprobe}"] = {
+            "recall": round(rec, 4), "sec": round(sec, 3),
+        }
+        if rec >= 0.9:
+            break
+    # the dial the catalog actually ships: calibrated at build
+    cal_rec, cal_sec = sweep_point(idx.nprobe)
     ivf_recall["nlist"] = nlist
-    ivf_recall["dial_recall90"] = dial90
+    ivf_recall["calibrated"] = {
+        "nprobe": idx.nprobe, "recall_est_at_build": round(idx.recall_est, 4),
+        "recall": round(cal_rec, 4), "sec": round(cal_sec, 3),
+    }
 
     # headline: exact geo kNN queries/sec (every doc row is a query),
     # steady-state (warm) — what a long-lived cluster deployment sees
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     qps = n_docs / timings["geo_knn"] if timings["geo_knn"] > 0 else 0.0
 
-    print(
-        json.dumps(
-            {
-                "metric": "exact_knn_queries_per_sec_k10",
-                "value": round(qps, 2),
-                "unit": "q/s",
-                "queries": timings,
-                "cold": cold,
-                "prep": prep,
-                "counts": counts,
-                "dist_comps": dist_comps,
-                "udf_wall_s": udf_wall,
-                "ivf_recall_at_5": ivf_recall,
-                "runs_per_query": max(2, RUNS),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": CPUS,
-            }
-        )
+    compact = {
+        "metric": "exact_knn_queries_per_sec_k10",
+        "value": round(qps, 2),
+        "unit": "q/s",
+        "queries": timings,
+        "probe_spread": round(max(probes) / min(probes), 3),
+        "runs_per_query": PASSES,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "detail": "BENCH/last_bench.json",
+    }
+    full = dict(
+        compact,
+        cold=cold,
+        prep=prep,
+        counts=counts,
+        dist_comps=dist_comps,
+        udf_wall_s=udf_wall,
+        warm_passes=warm_passes,
+        host_probes_s=probes,
+        ivf_recall_at_5=ivf_recall,
     )
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "last_bench.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
