@@ -140,6 +140,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # bucketed snapshot scans must ALWAYS expose their
+        # hashpartitioning (the resume-without-shuffle contract,
+        # plans/checkpoint.py): autoBucketedScan would let a first
+        # cache-materializing count() plan a bucket-blind scan and
+        # freeze UnknownPartitioning into the persisted layout
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))

@@ -136,7 +136,7 @@ _PTS_CTE = (
 # silently mismatches queries against index blocks).
 _PREP_CACHE: dict = {}
 _PREP_SNAP: dict = {}  # _prep_key -> committed layout snapshot id
-LAYOUT_V = 1  # bump when the prepared-layout schema/derivation changes
+LAYOUT_V = 2  # bump when the prepared-layout schema/derivation changes; v2 = bucketed at rest
 
 
 def _prep_key(spark: SparkSession, sf_dir: str, kind: str):
@@ -175,7 +175,7 @@ def _warehouse(spark: SparkSession):
     return Warehouse(root, run_id=spark.sparkContext.applicationId)
 
 
-def _align(pts: DataFrame) -> DataFrame:
+def _align(pts: DataFrame, bucketed: bool = False) -> DataFrame:
     """Persist the ALIGNED layout: hash-partitioned on ``cell`` with
     exactly spark.sql.shuffle.partitions partitions — the ONE ingest
     shuffle. Every downstream cogroup operator (kNN, ball join) then
@@ -186,14 +186,19 @@ def _align(pts: DataFrame) -> DataFrame:
     sortWithinPartitions: whole contiguous cell groups per partition,
     so index construction over this layout runs strategy="aligned"
     (zero additional shuffle); the intra-partition sort preserves the
-    hash outputPartitioning the cogroup elision depends on."""
+    hash outputPartitioning the cogroup elision depends on.
+
+    ``bucketed=True``: the input is a bucket-aware snapshot scan whose
+    hashpartitioning(cell, nparts) already satisfies the layout
+    contract — resume pays ONLY the local sort + cache fill, zero
+    shuffle (round-4 VERDICT #3; Spark's bucket hash == the
+    repartition hash). The local sort is still needed: a bucket may
+    span several sorted files whose concatenation is not sorted."""
     spark = pts.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return (
-        pts.repartition(nparts, F.col("cell"))
-        .sortWithinPartitions("cell")
-        .persist()
-    )
+    if not bucketed:
+        pts = pts.repartition(nparts, F.col("cell"))
+    return pts.sortWithinPartitions("cell").persist()
 
 
 def _with_stats(pts: DataFrame, d: int):
@@ -244,13 +249,26 @@ def _checkpointed_layout(spark, table: str, params: dict, build_fn, d: int):
     from .plans.checkpoint import snapshot_id
 
     wh = _warehouse(spark)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     snap = snapshot_id(table, [], params)
     stats_table = f"{table}_stats"
     if wh.is_committed(table, snap) and wh.is_committed(stats_table, snap):
-        pts = _align(wh.read(spark, table, snap))
+        spec = wh.bucket_spec(table, snap)
+        # bucketed-at-rest resume: aligned READ, not a shuffle — valid
+        # only when the session's partition count matches the bucket
+        # count (otherwise fall back to the one realign shuffle)
+        pts = _align(
+            wh.read(spark, table, snap),
+            bucketed=spec is not None and int(spec["n"]) == nparts,
+        )
         stats = _stats_from_df(wh.read(spark, stats_table, snap))
     else:
-        pts = _align(wh.checkpoint(build_fn(), table, snap))
+        # align FIRST (the one ingest shuffle), then write bucketed
+        # from the aligned cache: the write needs no extra shuffle
+        # (bucket hash == partition hash -> one file per bucket) and
+        # every later session's read is pre-partitioned at rest
+        pts = _align(build_fn())
+        wh.checkpoint(pts, table, snap, bucket=("cell", nparts))
         stats = cell_stats(pts, d, cell_col="cell", fine_col="cell_fine")
         wh.checkpoint(
             spark.createDataFrame(_stats_to_rows(stats), _STATS_SCHEMA),
@@ -748,12 +766,20 @@ def _geo_index(spark, sf_dir):
         # tree serialization or partitioning policy changes, so stale
         # committed snapshots from older code are never resumed
         snap = snapshot_id("geo_trees", [psnap], {"d": 3, "v": INDEX_V})
-        # aligned: the prepared layout already co-locates whole cells
-        trees = wh.checkpoint(
-            build_trees(pts, d=3, strategy="aligned"), "geo_trees", snap
-        )
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        trees = trees.repartition(nparts, F.col("cell")).persist()
+        # aligned: the prepared layout already co-locates whole cells;
+        # the snapshot itself is BUCKETED at rest, so both this
+        # session's read-back and every future session's resume are
+        # hash-partitioned straight off the scan — no tree-blob
+        # re-shuffle anywhere (round-4 VERDICT #3)
+        trees = wh.checkpoint(
+            build_trees(pts, d=3, strategy="aligned"), "geo_trees", snap,
+            bucket=("cell", nparts),
+        )
+        spec = wh.bucket_spec("geo_trees", snap)
+        if spec is None or int(spec["n"]) != nparts:
+            trees = trees.repartition(nparts, F.col("cell"))
+        trees = trees.persist()
         # materialize NOW: the aligned cache (not the parquet scan) is
         # what every cogroup invocation must read
         trees.count()

@@ -151,6 +151,35 @@ def test_prepared_layout_warehouse_resume(spark, tmp_path, monkeypatch):
         # lineage metrics exist for the layout commit
         m = wh.metrics(spark).toPandas()
         assert m[m["table"] == "geo_points"]["row_count"].sum() == n1
+
+        # BUCKETED AT REST (round-4 VERDICT #3): the snapshot carries
+        # its bucket spec, and the resumed layout is fed by the
+        # bucket-aware scan IN PLACE — physical plan shows the bucketed
+        # file scan and NO Exchange anywhere: resume = read + local
+        # sort + cache fill, never a data-sized shuffle
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert wh.bucket_spec("geo_points", snap) == {"col": "cell", "n": nparts}
+        plan = pts2._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert "Exchange" not in plan, plan
+
+        # and a cogroup against the resumed layout elides the home
+        # side entirely — both children here derive from the cached
+        # bucketed layout, so the plan has NO Exchange at all
+        import pandas as pd
+
+        cand = pts2.select("cell", F.col("id").alias("qid"))
+
+        def cg(c, h):
+            return pd.DataFrame({"n": [len(h)]})
+
+        out = (
+            cand.groupby("cell")
+            .cogroup(pts2.groupby("cell"))
+            .applyInPandas(cg, "n long")
+        )
+        cplan = out._jdf.queryExecution().executedPlan().toString()
+        assert cplan.count("Exchange") == 0, cplan
     finally:
         Q._PREP_CACHE.pop(key, None)
         Q._PREP_CACHE.update(saved)
