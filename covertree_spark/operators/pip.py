@@ -15,6 +15,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..core.polygons import point_in_convex, point_in_polygon
 
@@ -62,3 +63,129 @@ def pip_join(
                 )
 
     return points.mapInPandas(run, schema="id bigint, poly_id bigint")
+
+
+def polygons_table(spark, polys: list[np.ndarray]) -> DataFrame:
+    """Polygon list -> DataFrame (poly_id, xs, ys) — the TABLE form
+    the scale path consumes (a 10^4+-polygon corpus is data, not a
+    broadcast dimension)."""
+    rows = [
+        (pid, [float(x) for x in p[:, 0]], [float(y) for y in p[:, 1]])
+        for pid, p in enumerate(polys)
+    ]
+    return spark.createDataFrame(
+        rows, "poly_id bigint, xs array<double>, ys array<double>"
+    )
+
+
+def pip_join_table(
+    points: DataFrame,
+    polys: DataFrame,
+    convex: bool = False,
+    cover_zoom: int = 4,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "id",
+) -> DataFrame:
+    """Point-in-polygon join against a polygon TABLE — the scale path
+    (round-4 VERDICT #4: the broadcast ``pip_join`` loops driver-side
+    over a Python list; fine for a fixture dimension, wrong shape for
+    a 10^4+-polygon table).
+
+    Plan (three fixed operators, size INDEPENDENT of polygon count):
+      1. polygon side: each row explodes to its bbox's covering tiles
+         at ``cover_zoom`` (mapInPandas; the vertex arrays ride along
+         — O(verts x tiles_per_poly) bytes, the analog of the ghost
+         shuffle's O(surface));
+      2. point side: tile id as a pure JVM projection (assign_tiles —
+         the same codec the raster operators use);
+      3. cogroup on tile: per tile, every local polygon fragment runs
+         the bbox prune + exact vectorized test (same numpy kernels as
+         pip_join, so results are identical by construction) against
+         the tile's point block.
+
+    At deployment scale the point side is the tile-aligned persisted
+    layout (zero home shuffle, like every other cogroup operator);
+    ``cover_zoom`` trades polygon-side fan-out against per-tile block
+    size exactly like the cell decomposition elsewhere."""
+    from .tiles import _bbox_tile_range, assign_tiles
+
+    n = 1 << cover_zoom
+    test = point_in_convex if convex else point_in_polygon
+
+    def cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            t_out, p_out, xs_out, ys_out = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                poly = np.stack(
+                    [np.asarray(r.xs, dtype=np.float64),
+                     np.asarray(r.ys, dtype=np.float64)], axis=1,
+                )
+                ix0, ix1, iy0, iy1 = _bbox_tile_range(poly, cover_zoom)
+                ix, iy = np.meshgrid(
+                    np.arange(ix0, ix1 + 1, dtype=np.int64),
+                    np.arange(iy0, iy1 + 1, dtype=np.int64),
+                    indexing="ij",
+                )
+                t = (ix * n + iy).ravel()
+                t_out.append(t)
+                p_out.append(np.full(len(t), r.poly_id, dtype=np.int64))
+                xs_out.extend([list(r.xs)] * len(t))
+                ys_out.extend([list(r.ys)] * len(t))
+            if t_out:
+                yield pd.DataFrame(
+                    {
+                        "tile": np.concatenate(t_out),
+                        "poly_id": np.concatenate(p_out),
+                        "xs": xs_out,
+                        "ys": ys_out,
+                    }
+                )
+
+    frags = polys.mapInPandas(
+        cover,
+        schema="tile bigint, poly_id bigint, xs array<double>, ys array<double>",
+    )
+    pts = assign_tiles(points, cover_zoom, lon_col, lat_col).select(
+        "tile", F.col(id_col).alias("id"),
+        F.col(lon_col).alias("lon"), F.col(lat_col).alias("lat"),
+    )
+
+    def per_tile(pt_pdf: pd.DataFrame, fr_pdf: pd.DataFrame) -> pd.DataFrame:
+        if pt_pdf.empty or fr_pdf.empty:
+            return pd.DataFrame({"id": [], "poly_id": []}).astype(
+                {"id": "int64", "poly_id": "int64"}
+            )
+        px = pt_pdf["lon"].to_numpy(dtype=np.float64)
+        py = pt_pdf["lat"].to_numpy(dtype=np.float64)
+        ids = pt_pdf["id"].to_numpy()
+        out_ids, out_pid = [], []
+        for r in fr_pdf.itertuples(index=False):
+            poly = np.stack(
+                [np.asarray(r.xs, dtype=np.float64),
+                 np.asarray(r.ys, dtype=np.float64)], axis=1,
+            )
+            x0, x1 = poly[:, 0].min(), poly[:, 0].max()
+            y0, y1 = poly[:, 1].min(), poly[:, 1].max()
+            m = (px >= x0) & (px <= x1) & (py >= y0) & (py <= y1)
+            if not m.any():
+                continue
+            hit = test(px[m], py[m], poly)
+            sel = ids[m][hit]
+            out_ids.append(sel)
+            out_pid.append(np.full(len(sel), r.poly_id, dtype=np.int64))
+        if not out_ids:
+            return pd.DataFrame({"id": [], "poly_id": []}).astype(
+                {"id": "int64", "poly_id": "int64"}
+            )
+        return pd.DataFrame(
+            {"id": np.concatenate(out_ids), "poly_id": np.concatenate(out_pid)}
+        )
+
+    return (
+        pts.groupby("tile")
+        .cogroup(frags.groupby("tile"))
+        .applyInPandas(per_tile, schema="id bigint, poly_id bigint")
+    )

@@ -86,6 +86,62 @@ def polygon_tile_cover(
     return reduce(lambda a, b: a.unionByName(b), frames)
 
 
+def polygon_tile_cover_table(
+    polys: DataFrame, zoom: int, convex: bool = False
+) -> DataFrame:
+    """VECTOR -> RASTER over a polygon TABLE (poly_id, xs, ys) — the
+    scale path (round-4 VERDICT #4: ``polygon_tile_cover`` builds one
+    plan branch per polygon driver-side; fine for a fixture dimension,
+    unbounded plan size for a 10^4+-polygon table). One mapInPandas
+    over the polygon rows: per row, enumerate the bbox tile grid and
+    test tile CENTERS vectorized — float64 arithmetic in the SAME op
+    order as sql_tile_center_exprs + the SQL predicates, so results
+    are identical to the declarative path (parity-tested). Plan size
+    and driver state are O(1) in the polygon count; per-row work is
+    O(bbox tiles x edges)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..core.polygons import point_in_convex, point_in_polygon
+
+    n = 1 << zoom
+    test = point_in_convex if convex else point_in_polygon
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            p_out, t_out = [], []
+            for r in pdf.itertuples(index=False):
+                poly = np.stack(
+                    [np.asarray(r.xs, dtype=np.float64),
+                     np.asarray(r.ys, dtype=np.float64)], axis=1,
+                )
+                ix0, ix1, iy0, iy1 = _bbox_tile_range(poly, zoom)
+                ix, iy = np.meshgrid(
+                    np.arange(ix0, ix1 + 1, dtype=np.int64),
+                    np.arange(iy0, iy1 + 1, dtype=np.int64),
+                    indexing="ij",
+                )
+                ix, iy = ix.ravel(), iy.ravel()
+                # tile centers — identical float64 ops to
+                # sql_tile_center_exprs: (i + 0.5) * (span / n) - half
+                lon = (ix + 0.5) * (360.0 / n) - 180.0
+                lat = (iy + 0.5) * (180.0 / n) - 90.0
+                m = test(lon, lat, poly)
+                t_out.append(ix[m] * n + iy[m])
+                p_out.append(np.full(int(m.sum()), r.poly_id, dtype=np.int64))
+            if p_out:
+                yield pd.DataFrame(
+                    {"poly_id": np.concatenate(p_out),
+                     "tile": np.concatenate(t_out)}
+                )
+
+    return polys.mapInPandas(run, schema="poly_id bigint, tile bigint")
+
+
 def sql_polygon_tile_cover(polys, zoom: int, convex: bool = True) -> str:
     """DuckDB oracle for polygon_tile_cover: generate_series over the
     same bbox ranges, identical center/predicate fragments."""

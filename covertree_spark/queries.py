@@ -473,6 +473,34 @@ def sql_pip_concave():
     return " UNION ALL ".join(parts)
 
 
+PIP_ALL_POLYS = PIP_POLYS + PIP_CONCAVE_POLYS  # combined fixture table
+
+
+def q_pip_table(spark, sf_dir):
+    """PIP against a polygon TABLE — the scale path (round-4 VERDICT
+    #4): polygons explode to covering tiles, points cogroup on tile,
+    exact even-odd test per (tile, polygon) fragment. Plan size is
+    independent of the polygon count (the broadcast pip_join builds a
+    driver-side loop; this entry proves the table path under the same
+    oracle). Even-odd is valid for ANY simple polygon, so one operator
+    covers both fixture sets."""
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    pdf = pip.polygons_table(spark, PIP_ALL_POLYS)
+    return pip.pip_join_table(pts, pdf, convex=False).select(
+        F.col("id").alias("doc_id"), "poly_id"
+    )
+
+
+def sql_pip_table():
+    parts = []
+    for pid, poly in enumerate(PIP_ALL_POLYS):
+        pred = sql_concave_predicate(_LON_E, _LAT_E, poly)
+        parts.append(
+            f"SELECT doc_id, CAST({pid} AS BIGINT) AS poly_id FROM documents WHERE {pred}"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def q_tile_assign(spark, sf_dir):
     pts = src.doc_points_lonlat(spark, sf_dir)
     return tiles.assign_tiles(pts, TILE_Z).select(
@@ -515,6 +543,19 @@ def q_tile_poly_cover_concave(spark, sf_dir):
     return tiles.polygon_tile_cover(
         spark, PIP_CONCAVE_POLYS, COVER_Z, convex=False
     )
+
+
+def q_tile_poly_cover_table(spark, sf_dir):
+    """Rasterization over a polygon TABLE (round-4 VERDICT #4): one
+    mapInPandas over polygon rows, vectorized center tests — plan size
+    O(1) in the polygon count, vs one plan branch per polygon in the
+    declarative fixture path."""
+    pdf = pip.polygons_table(spark, PIP_ALL_POLYS)
+    return tiles.polygon_tile_cover_table(pdf, COVER_Z, convex=False)
+
+
+def sql_tile_poly_cover_table():
+    return tiles.sql_polygon_tile_cover(PIP_ALL_POLYS, COVER_Z, convex=False)
 
 
 def sql_tile_poly_cover_concave():
@@ -1039,6 +1080,11 @@ def catalog():
         "tile_poly_cover_concave": (
             q_tile_poly_cover_concave,
             sql_tile_poly_cover_concave(),
+        ),
+        "pip_table": (q_pip_table, sql_pip_table()),
+        "tile_poly_cover_table": (
+            q_tile_poly_cover_table,
+            sql_tile_poly_cover_table(),
         ),
         "emb_ball_join": (q_emb_ball_join, sql_emb_ball_join()),
         "emb_knn": (q_emb_knn, sql_emb_knn()),
