@@ -1,0 +1,142 @@
+"""Sessionization (gap rule) with a HOT-KEY-BOUNDED two-phase plan.
+
+The classic formulation — two windows partitioned by user — is correct
+but puts a user's ENTIRE history in one task: a bot account with 10^8
+events is a straggler no cell-splitting machinery reaches (round-4
+VERDICT #5 / What's-wrong #3).
+
+Two-phase shape (per-bucket sessions + boundary stitch):
+
+  phase 1: events salt into (user, time-bucket) groups; a local window
+    inside each bucket computes provisional session starts (the
+    bucket's first event counts as a start — provisionally) and the
+    local cumulative start count. Task size is bounded by the largest
+    single (user, bucket) — the engine's documented contract: the
+    bound is max per-user events per ``bucket_us`` window, not per-user
+    total.
+
+  phase 2 (the stitch): ONE ROW PER (user, bucket) — first/last event
+    micros + local start count — flows through a per-user window over
+    BUCKET SUMMARIES (cardinality = time-range / bucket_us, independent
+    of event count). The summary window decides whether each bucket's
+    first event truly starts a session (gap from the previous bucket's
+    last event: buckets partition time, so the previous event globally
+    IS the last event of the previous non-empty bucket) and prefix-sums
+    the corrected start counts into a per-bucket session offset.
+
+  final: join the offsets back on (user, bucket); an event's session
+    index = bucket offset + its local cumulative count (+ the first-
+    event correction folded into the offset). Microsecond-exact integer
+    arithmetic throughout — identical semantics to the one-window plan
+    (parity-tested, and the catalog oracle is unchanged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_us: int,
+    bucket_us: int | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(id_col, user_col, sess) with sess = 1-based session index per
+    user; a gap > ``gap_us`` microseconds starts a new session.
+    Ordering ties break on ``id_col`` (ties never span buckets: the
+    bucket is a pure function of the timestamp). ``bucket_us`` defaults
+    to 4x the gap — coarse enough that human-scale users occupy few
+    buckets, fine enough to salt a bot's firehose."""
+    if bucket_us is None:
+        bucket_us = 4 * gap_us
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.select(
+        F.col(id_col).alias("_eid"),
+        F.col(user_col).alias("_uid"),
+        us.alias("_us"),
+    ).withColumn("_bkt", F.floor(F.col("_us") / F.lit(int(bucket_us))))
+
+    w_local = Window.partitionBy("_uid", "_bkt").orderBy(
+        F.col("_us").asc(), F.col("_eid").asc()
+    )
+    gap_local = F.col("_us") - F.lag("_us").over(w_local)
+    ns = F.when(
+        gap_local.isNull() | (gap_local > F.lit(int(gap_us))), F.lit(1)
+    ).otherwise(F.lit(0))
+    local = ev.withColumn("_ns", ns).withColumn(
+        "_lcum",
+        F.sum("_ns").over(
+            w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+    summ = local.groupBy("_uid", "_bkt").agg(
+        F.min("_us").alias("_first_us"),
+        F.max("_us").alias("_last_us"),
+        F.sum("_ns").alias("_starts"),
+    )
+    w_user = Window.partitionBy("_uid").orderBy(F.col("_bkt").asc())
+    prev_last = F.lag("_last_us").over(w_user)
+    # the bucket's first event provisionally counted as a start;
+    # correction is 0 (really a start) or -1 (continuation across the
+    # bucket boundary)
+    delta = F.when(
+        prev_last.isNull()
+        | ((F.col("_first_us") - prev_last) > F.lit(int(gap_us))),
+        F.lit(0),
+    ).otherwise(F.lit(-1))
+    offsets = (
+        summ.withColumn("_delta", delta)
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum(F.col("_starts") + F.col("_delta")).over(
+                    w_user.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(
+            "_uid", "_bkt",
+            (F.col("_base") + F.col("_delta")).alias("_off"),
+        )
+    )
+
+    return (
+        local.join(offsets, ["_uid", "_bkt"])
+        .select(
+            F.col("_eid").alias(id_col),
+            F.col("_uid").alias(user_col),
+            (F.col("_off") + F.col("_lcum")).cast("bigint").alias("sess"),
+        )
+    )
+
+
+def sessionize_single_window(
+    events: DataFrame,
+    gap_us: int,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """The classic one-window formulation — correct at human-scale
+    per-user cardinality, unbounded task size on a hot key. Kept as
+    the parity reference for the two-phase plan."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > F.lit(int(gap_us))), F.lit(1)
+    ).otherwise(F.lit(0))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        id_col,
+        user_col,
+        F.sum(new_sess).over(wcum).cast("bigint").alias("sess"),
+    )
