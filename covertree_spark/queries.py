@@ -40,6 +40,7 @@ from .operators.partition import (
     voronoi_centers,
 )
 from .sources import tables as src
+from .sources import vecfiles
 
 # ---- tuned constants (clearance-verified in tests) -------------------------
 GEO_BALL_R = 0.28  # chord radius, unit sphere
@@ -960,25 +961,17 @@ def q_events_sessionize(spark, sf_dir):
     Gap arithmetic is MICROSECOND-EXACT integers in both engines
     (Spark unix_micros vs DuckDB epoch_us — second-truncating
     functions would disagree on fractional-second gaps); ordering ties
-    break on event_id."""
-    from pyspark.sql import Window
+    break on event_id. (parquet ts is TIMESTAMP_NTZ; session TZ is
+    pinned UTC, so the cast preserves the wall-clock instant.)
+
+    Runs the HOT-KEY-BOUNDED two-phase plan (operators/sessions.py —
+    round-4 VERDICT #5): per-(user, time-bucket) local sessions + a
+    boundary stitch over bucket summaries, so no task ever holds a hot
+    user's whole history; the oracle is unchanged."""
+    from .operators.sessions import sessionize
 
     ev = src.load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    # parquet ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the
-    # cast to TIMESTAMP preserves the wall-clock instant and
-    # unix_micros matches DuckDB's epoch_us on the naive value exactly
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap = us - F.lag(us).over(w)
-    new_sess = F.when(
-        gap.isNull() | (gap > F.lit(SESSION_GAP_US)), F.lit(1)
-    ).otherwise(F.lit(0))
-    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.sum(new_sess).over(wcum).cast("bigint").alias("sess"),
-    )
+    return sessionize(ev, SESSION_GAP_US)
 
 
 def sql_events_sessionize():
@@ -1019,6 +1012,55 @@ def sql_events_rollup():
         "CAST(count(DISTINCT user_id) AS BIGINT) AS users "
         "FROM events GROUP BY 1, 2"
     )
+
+
+def _fvecs_fixture(spark, sf_dir) -> str:
+    """Materialize the embeddings table as a reference-format .fvecs
+    file, once per (session, sf). The driver-side write is FIXTURE
+    scaffolding (the reference's datasets arrive as files); the
+    operator under the gate is the DISTRIBUTED read path. f32 values
+    round-trip bit-exact (the parquet column is already float)."""
+    import os
+
+    key = _prep_key(spark, sf_dir, "fvecs")
+    if key not in _PREP_CACHE:
+        path = os.path.join(
+            tempfile_dir(),
+            f"ct_fvecs_{os.path.basename(sf_dir.rstrip('/'))}.fvecs",
+        )
+        pdf = (
+            src.load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .toPandas()
+        )
+        ids = pdf["vec_id"].to_numpy()
+        if not np.array_equal(ids, np.arange(len(ids))):
+            raise ValueError("fvecs fixture requires contiguous vec_ids")
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+        vecfiles.write_fvecs(path, X)
+        _prep_insert(key, path)
+    return _PREP_CACHE[key]
+
+
+def q_vecfile_ball_join(spark, sf_dir):
+    """S3/S4 END-TO-END under the driver gate (round-4 VERDICT #7):
+    the embeddings round-trip through the reference's .fvecs format,
+    are read back DISTRIBUTED (sources.vecfiles.read_vectors —
+    spark.range id-ranges, one seek + bulk fromfile per Arrow batch,
+    row count from the header alone: no count job), layered with the
+    standard two-level Voronoi assignment, and ball-joined. Row index
+    == vec_id (asserted at write), so the oracle is emb_ball_join's
+    SQL verbatim."""
+    path = _fvecs_fixture(spark, sf_dir)
+    n, _d, _atom = vecfiles.info_file(path)
+    fine_k, coarse_k, sample = adaptive_voronoi_k(
+        n, spark.sparkContext.defaultParallelism
+    )
+    vecs = vecfiles.read_vectors(spark, path)
+    fine = voronoi_centers(vecs, k=fine_k, sample_size=sample)
+    pts = assign_two_level(vecs, fine, coarse_group_of(fine, coarse_k))
+    return ball_self_join(pts, EMB_BALL_R, d=EMB_D).select("src", "dst")
 
 
 # ---- rows-only (non-SQL-expressible) ops --------------------------------------
@@ -1104,6 +1146,7 @@ def catalog():
         "quality_filter": (q_quality_filter, sql_quality_filter()),
         "lang_predict": (q_lang_predict, sql_lang_predict()),
         "events_top_users": (q_events_top_users, sql_events_top_users()),
+        "vecfile_ball_join": (q_vecfile_ball_join, sql_emb_ball_join()),
         "minhash_neardup": (q_minhash_neardup, None),
         "simhash_neardup": (q_simhash_neardup, None),
         "doc_fingerprints": (q_doc_fingerprints, None),
