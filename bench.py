@@ -131,6 +131,7 @@ def main() -> None:
     counts: dict[str, int] = {}
     dist_comps: dict[str, int] = {}
     udf_wall: dict[str, float] = {}
+    cand_bytes: dict[str, int] = {}
     warm_passes: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
     probes: list[float] = []
 
@@ -153,6 +154,9 @@ def main() -> None:
         cold[name] = round(run_one(name), 3)
         dist_comps[name] = int(meters.value) + M.driver_delta(snap)
         udf_wall[name] = round(meters.udf_wall, 3)
+        # candidate/ghost payload bytes fed into the per-query shuffle
+        # (round-4 VERDICT #6: the O(fringe)-shuffle evidence)
+        cand_bytes[name] = meters.cand_bytes
 
     # warm passes, bracketed: probe -> full pass -> probe -> ...
     host_probe()  # throwaway: page-fault/allocator warmup is not host noise
@@ -236,6 +240,7 @@ def main() -> None:
         counts=counts,
         dist_comps=dist_comps,
         udf_wall_s=udf_wall,
+        cand_shuffle_bytes=cand_bytes,
         warm_passes=warm_passes,
         host_probes_s=probes,
         ivf_recall_at_5=ivf_recall,

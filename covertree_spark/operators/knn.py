@@ -185,7 +185,7 @@ def knn_self_join(
         [F.col(cell_col).alias("home_cell")] if self_join else []
     )
     candidates = qdf.select(*qcols).mapInPandas(
-        counted_stream(phase1), schema=CAND_SCHEMA
+        counted_stream(phase1, emit_bytes=True), schema=CAND_SCHEMA
     )
     if strategy == "range":
         candidates = mark_releasable(candidates.persist())
@@ -493,7 +493,7 @@ def knn_over_index(
         else []
     )
     candidates = queries.select(*qcols).mapInPandas(
-        counted_stream(phase1), schema=CAND_SCHEMA
+        counted_stream(phase1, emit_bytes=True), schema=CAND_SCHEMA
     )
 
     from .index import tree_from_row

@@ -538,4 +538,6 @@ def replicate_ghosts(
                 yield out_home
 
     schema = "cell bigint, id bigint, vec array<float>, is_ghost boolean"
-    return points.mapInPandas(counted_stream(dilate), schema=schema)
+    return points.mapInPandas(
+        counted_stream(dilate, emit_bytes=True), schema=schema
+    )

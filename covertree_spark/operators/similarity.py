@@ -367,7 +367,8 @@ def ivf_topk_over(
             )
 
     candidates = pts.select("id", "vec", "cell").mapInPandas(
-        counted_stream(probe), schema="cell bigint, qid bigint, vec array<float>"
+        counted_stream(probe, emit_bytes=True),
+        schema="cell bigint, qid bigint, vec array<float>"
     )
     home = pts.select("cell", "id", "vec")
 

@@ -37,6 +37,7 @@ from dataclasses import dataclass
 class Meters:
     dist: object  # Spark accumulator[int]: distance computations
     udf_s: object  # Spark accumulator[float]: wall seconds inside UDFs
+    cand_b: object = None  # accumulator[int]: candidate/ghost payload bytes
 
     @property
     def value(self) -> int:  # back-compat: meters.value == dist_comps
@@ -45,6 +46,17 @@ class Meters:
     @property
     def udf_wall(self) -> float:
         return float(self.udf_s.value)
+
+    @property
+    def cand_bytes(self) -> int:
+        """Payload bytes EMITTED INTO the per-query shuffle by
+        candidate/ghost streams (phase-1 kNN candidates, ghost
+        replicas, IVF probes) — the engine's own measurement that the
+        per-query shuffle is O(fringe), not O(table) (round-4 VERDICT
+        #6). Estimated worker-side at emission: fixed-width columns at
+        dtype width, array columns at 4 bytes/element, NULL (elided
+        vec) = 0 — i.e. the logical payload, before compression."""
+        return int(self.cand_b.value) if self.cand_b is not None else 0
 
 
 _CURRENT: Meters | None = None
@@ -56,8 +68,26 @@ def install(spark) -> Meters:
     _CURRENT = Meters(
         dist=spark.sparkContext.accumulator(0),
         udf_s=spark.sparkContext.accumulator(0.0),
+        cand_b=spark.sparkContext.accumulator(0),
     )
     return _CURRENT
+
+
+def _pdf_payload_bytes(pdf) -> int:
+    """Logical payload bytes of an emitted batch (see
+    Meters.cand_bytes). Object (array) columns count 4 bytes per
+    element — the engine's f32 payload width — and None rows count 0,
+    so vec elision shows up as the byte savings it is."""
+    total = 0
+    for c in pdf.columns:
+        s = pdf[c]
+        if s.dtype == object:
+            total += int(
+                sum(0 if v is None else 4 * len(v) for v in s.to_numpy())
+            )
+        else:
+            total += int(s.dtype.itemsize) * len(s)
+    return total
 
 
 def current() -> Meters | None:
@@ -65,11 +95,16 @@ def current() -> Meters | None:
     return _CURRENT
 
 
-def counted_stream(fn, meters: Meters | None = None):
+def counted_stream(fn, meters: Meters | None = None, emit_bytes: bool = False):
     """Wrap a mapInPandas iterator function so each invocation's
     worker-side DIST_COMPS delta and wall time are added to the
     accumulators. No-op when instrumentation is off (zero overhead in
-    the hot path)."""
+    the hot path).
+
+    ``emit_bytes=True``: additionally meter every yielded batch's
+    payload bytes into ``cand_b`` — set on the streams whose output
+    FEEDS A SHUFFLE (phase-1 candidates, ghost replication, IVF
+    probes), giving the O(fringe)-shuffle evidence per query."""
     if meters is None:
         meters = _CURRENT
     if meters is None:
@@ -81,7 +116,12 @@ def counted_stream(fn, meters: Meters | None = None):
         start = _ct.DIST_COMPS
         t0 = time.time()
         try:
-            yield from fn(batches)
+            if emit_bytes and meters.cand_b is not None:
+                for out in fn(batches):
+                    meters.cand_b.add(_pdf_payload_bytes(out))
+                    yield out
+            else:
+                yield from fn(batches)
         finally:
             meters.dist.add(_ct.DIST_COMPS - start)
             meters.udf_s.add(time.time() - t0)

@@ -121,18 +121,33 @@ for rep in range(3):
 trees_rows = spark.read.parquet(out + f"/trees_{{cpus}}").count()
 
 # --- knn phase: full two-phase exact plan ----------------------------
+# rep 0 carries the engine's own shuffle-volume metric (plans/metrics
+# cand_bytes): payload bytes EMITTED into the per-query candidate
+# shuffle — the direct O(fringe)-vs-O(table) evidence the round-4
+# VERDICT asked for. Identical plan per rep, so one metered rep
+# suffices.
+from covertree_spark.plans import metrics as M
 t_knn = float("inf")
 cksum = None
+knn_cand_bytes = 0
+knn_udf_wall = 0.0
 for rep in range(3):
+    meters = M.install(spark) if rep == 0 else None
     t0 = time.time()
     knn = knn_self_join(pts_knn, k=10, d=d, brute_cutoff=8192)
     cksum = knn.agg(F.sum(F.col("src") * 13 + F.col("dst") * 7 + F.col("rank")).alias("s"),
                     F.count("*").alias("c")).collect()[0]
     t_knn = min(t_knn, time.time() - t0)
+    if rep == 0:
+        knn_cand_bytes = meters.cand_bytes
+        knn_udf_wall = round(meters.udf_wall, 1)
 
 print(json.dumps({{"cpus": cpus, "n": n, "t_build": t_build, "t_knn": t_knn,
                    "t_persist": t_persist, "build_cells": trees_rows,
-                   "knn_rows": cksum["c"], "knn_checksum": int(cksum["s"])}}))
+                   "knn_rows": cksum["c"], "knn_checksum": int(cksum["s"]),
+                   "knn_cand_bytes": knn_cand_bytes,
+                   "knn_udf_wall_s": knn_udf_wall,
+                   "table_vec_bytes": n * d * 4}}))
 '''
 
 
@@ -262,18 +277,30 @@ def _min_merge(runs: list[dict]) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=3_000_000)
+    ap.add_argument("--sizes", type=str, default=None,
+                    help="comma list of point counts; first is the "
+                         "headline size, extras add the shuffle-volume "
+                         "scaling section (e.g. 3000000,10000000)")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--runs", type=int, default=1,
                     help="alternating lo/hi repetitions; min per level")
     args = ap.parse_args()
-    n = 200_000 if args.quick else args.n
+    if args.quick:
+        sizes = [200_000]
+    elif args.sizes:
+        sizes = [int(x) for x in args.sizes.split(",")]
+    else:
+        sizes = [args.n]
+    n = sizes[0]
 
     base = "/tmp/covertree_scaling"
-    # v3: float32 vec payloads (the engine's Atom type) — new path so
-    # stale float64 datasets from earlier rounds never get reused
-    pages_path = f"{base}/blobsv3_{n}"
     out = f"{base}/out"
     os.makedirs(out, exist_ok=True)
+
+    def pages_for(nn):
+        # v3: float32 vec payloads (the engine's Atom type) — new path
+        # so stale float64 datasets from earlier rounds never reused
+        return f"{base}/blobsv3_{nn}"
 
     # ceiling probes BRACKET the engine runs (measured before AND
     # after): this host is multi-tenant — a single front-loaded probe
@@ -286,8 +313,16 @@ def main() -> None:
     kceil_a = kernel_ceiling()
     los, his = [], []
     for _ in range(args.runs):
-        los.append(run_level(8, n, pages_path, out))
-        his.append(run_level(32, n, pages_path, out))
+        los.append(run_level(8, n, pages_for(n), out))
+        his.append(run_level(32, n, pages_for(n), out))
+    # extra sizes: one alternating pair each — enough for throughput +
+    # the shuffle-volume growth row (bytes are deterministic, and the
+    # efficiency headline stays with the primary size's min-of-N)
+    extra: list[tuple[dict, dict]] = []
+    for nn in sizes[1:]:
+        lo_x = run_level(8, nn, pages_for(nn), out)
+        hi_x = run_level(32, nn, pages_for(nn), out)
+        extra.append((lo_x, hi_x))
     ceil_b = host_ceiling()
     kceil_b = kernel_ceiling()
     ceil = max(ceil_a, ceil_b, key=lambda c: c["ceiling_efficiency_8_to_32"])
@@ -307,6 +342,9 @@ def main() -> None:
     hi = _min_merge(his)
     assert lo["knn_rows"] == hi["knn_rows"], "parallelism variance in rows!"
     assert lo["knn_checksum"] == hi["knn_checksum"], "parallelism variance in values!"
+
+    def r8_hi_t(r32):
+        return r32["t_knn"]
 
     eff_build = (lo["t_build"] / hi["t_build"]) / 4
     eff_knn = (lo["t_knn"] / hi["t_knn"]) / 4
@@ -344,6 +382,24 @@ def main() -> None:
             "local8": [{k: round(r[k], 2) for k in ("t_build", "t_knn", "t_persist")} for r in los],
             "local32": [{k: round(r[k], 2) for k in ("t_build", "t_knn", "t_persist")} for r in his],
         },
+        "shuffle_volume": [
+            {
+                "n_points": r32["n"],
+                "table_vec_mb": round(r32["table_vec_bytes"] / 1e6, 1),
+                "knn_cand_mb_local32": round(r32["knn_cand_bytes"] / 1e6, 1),
+                "cand_over_table": round(
+                    r32["knn_cand_bytes"] / r32["table_vec_bytes"], 3
+                ),
+                "knn": {
+                    "t_local8_s": round(r8["t_knn"], 2),
+                    "t_local32_s": round(r8_hi_t(r32), 2),
+                    "efficiency_8_to_32": round(
+                        r8["t_knn"] / r8_hi_t(r32) / 4, 3
+                    ),
+                },
+            }
+            for r8, r32 in [(lo, hi)] + extra
+        ],
         "outputs_identical_across_levels": True,
     }
     print(json.dumps(report, indent=2))
@@ -354,6 +410,49 @@ def main() -> None:
         f"{lr['t_build'] / hr['t_build'] / 4:.3f} | {lr['t_knn'] / hr['t_knn'] / 4:.3f} |"
         for i, (lr, hr) in enumerate(zip(los, his))
     )
+    pairs = [(lo, hi)] + extra
+    shuffle_rows = "\n".join(
+        f"| {r32['n']:,} | {r32['table_vec_bytes'] / 1e6:,.1f} MB | "
+        f"{r32['knn_cand_bytes'] / 1e6:,.1f} MB | "
+        f"{r32['knn_cand_bytes'] / r32['table_vec_bytes']:.3f} | "
+        f"{r8['t_knn']:.2f}s | {r32['t_knn']:.2f}s | "
+        f"{r8['t_knn'] / r32['t_knn'] / 4:.3f} |"
+        for r8, r32 in pairs
+    )
+    if len(pairs) > 1:
+        g_n = pairs[-1][1]["n"] / pairs[0][1]["n"]
+        g_cand = (
+            pairs[-1][1]["knn_cand_bytes"] / pairs[0][1]["knn_cand_bytes"]
+        )
+        growth_note = (
+            f"Scaling the table {g_n:.1f}x grew the candidate shuffle "
+            f"{g_cand:.1f}x — {'SUBLINEAR' if g_cand < g_n else 'linear'} "
+            "in table size"
+            + (
+                " (the fringe fraction shrinks as cells get denser: more "
+                "queries resolve entirely inside their home cell)."
+                if g_cand < g_n
+                else "."
+            )
+        )
+    else:
+        growth_note = ""
+    shuffle_md = f"""
+## Shuffle volume: candidates, not the table
+
+Payload bytes EMITTED into the per-query candidate shuffle, measured
+by the engine's own accumulator at the phase-1 emission point
+(plans/metrics.py cand_bytes; vec-elided rows count 0 — elision is
+a byte saving, and this measures it). The home table NEVER moves:
+its only shuffle is the one amortized ingest alignment.
+
+| n points | table vec payload | kNN candidate shuffle @32 | cand/table | knn t@8 | knn t@32 | raw eff |
+|---|---|---|---|---|---|---|
+{shuffle_rows}
+
+{growth_note}
+"""
+
     md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence
 
 BASELINE north_rule: ">= 0.8 throughput scaling efficiency from N to 4N
@@ -437,6 +536,7 @@ set (f64 accumulation + f32 selection GEMM) is the same computation;
 what the f32 change removes is Spark-side transport bytes, which is
 exactly where the engine sat above the ceiling.
 
+{shuffle_md}
 ## Why this design scales on a real cluster
 
 On a real 1000-executor cluster (per-node memory buses, no tenant
