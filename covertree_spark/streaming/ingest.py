@@ -100,6 +100,71 @@ def stream_dedup_pages(pages: DataFrame, watermark: str | None = None) -> DataFr
     return hashed.dropDuplicates(["_h"]).drop("_h")
 
 
+def stream_sessionize(
+    events: DataFrame,
+    gap_us: int,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CUSTOM stateful operator: streaming sessionization (gap rule) —
+    the incremental form of ``operators.sessions.sessionize``. State
+    per user is two integers (last event micros, session counter):
+    O(#users) state, O(1) per event, every event emitted exactly once
+    in its micro-batch.
+
+    EXACTNESS CONTRACT: per-user event times must be nondecreasing
+    ACROSS micro-batches (in-order logs — e.g. the availableNow drain
+    of a time-partitioned directory). Within a batch, rows are sorted
+    here. This is the same in-order contract a watermark-bounded
+    session window enforces by dropping late rows; batch parity is
+    pinned by test against the batch sessionizer."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events.select(
+        F.col(id_col).alias("event_id"),
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    )
+    out_schema = "event_id bigint, user_id bigint, sess bigint"
+    state_schema = "last_us bigint, sess bigint"
+
+    def update_fn(key, pdfs, state):
+        last_us, sess = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["_us", "event_id"], kind="stable")
+            us = pdf["_us"].to_numpy(dtype=np.int64)
+            prev = np.empty_like(us)
+            prev[0] = last_us
+            prev[1:] = us[:-1]
+            ns = (us - prev) > gap_us
+            if sess == 0:
+                ns[0] = True  # first event ever for this user
+            sess_ids = sess + np.cumsum(ns)
+            sess = int(sess_ids[-1])
+            last_us = int(us[-1])
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "user_id": pdf["user_id"].to_numpy(),
+                    "sess": sess_ids,
+                }
+            )
+        state.update((last_us, sess))
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stateful_cell_profile(pts: DataFrame) -> DataFrame:
     """CUSTOM stateful operator (applyInPandasWithState): running
     per-cell profile (count + lon/lat centroid) maintained across

@@ -152,3 +152,61 @@ def test_stateful_cell_profile_matches_batch(spark, tmp_path):
     assert last["cnt"].sort_index().equals(batch["cnt"])
     assert np.allclose(last["lon_c"].sort_index(), batch["lon_c"], atol=1e-9)
     assert np.allclose(last["lat_c"].sort_index(), batch["lat_c"], atol=1e-9)
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Streaming sessionization (applyInPandasWithState, two ints of
+    state per user) drained over time-ordered micro-batches equals the
+    batch sessionizer row-for-row — the in-order-logs contract the
+    operator documents."""
+    import os
+
+    from covertree_spark.operators.sessions import sessionize_single_window
+    from covertree_spark.streaming.ingest import stream_sessionize
+    from tests.conftest import SF_SMALL
+
+    GAP = 1800 * 1_000_000
+    src = str(tmp_path / "evsrc")
+    os.makedirs(src)
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    # pyarrow defaults to TIMESTAMP(NANOS), which Spark's parquet
+    # reader rejects; the engine's precision is microseconds anyway
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    # 4 time-ordered chunks with increasing mtimes -> 4 in-order
+    # micro-batches (FileStreamSource orders by mtime, then path)
+    step = (len(pdf) + 3) // 4
+    now = 1_700_000_000
+    for i in range(4):
+        p = os.path.join(src, f"chunk{i:03d}.parquet")
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    batch_ev = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch_ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_sessionize(stream, GAP)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_sink")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["event_id"], r["user_id"], r["sess"])
+        for r in spark.sql("SELECT * FROM sess_sink").collect()
+    }
+    want = {
+        (r["event_id"], r["user_id"], r["sess"])
+        for r in sessionize_single_window(batch_ev, GAP).collect()
+    }
+    assert len(got) == batch_ev.count()  # every event emitted once
+    assert got == want
