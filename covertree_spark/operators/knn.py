@@ -496,6 +496,20 @@ def knn_over_index(
         counted_stream(phase1, emit_bytes=True), schema=CAND_SCHEMA
     )
 
+    parts = _tree_parts(candidates, trees, k, self_join, brute_cutoff)
+    return _merge_topk(parts, k, _merge_mode(stats, k, merge, nq=n_queries))
+
+
+def _tree_parts(
+    candidates: DataFrame,
+    trees: DataFrame,
+    k: int,
+    self_join: bool,
+    brute_cutoff: int,
+) -> DataFrame:
+    """Cogroup the phase-1 candidate stream with a persisted tree table
+    by cell -> per-cell partial top-k rows (PART_SCHEMA). Shared by the
+    single-index and generation-chain read paths."""
     from .index import tree_from_row
 
     def per_cell(_key, cand_pdf: pd.DataFrame, tree_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -528,9 +542,128 @@ def knn_over_index(
              "lrank": _local_ranks(qi), "ncand": nc}
         )
 
-    parts = (
+    return (
         candidates.groupby("cell")
         .cogroup(trees.groupby("cell"))
         .applyInPandas(counted_fn(per_cell), schema=PART_SCHEMA)
     )
+
+
+def _cells_filter(df: DataFrame, cells: np.ndarray, keep: bool) -> DataFrame:
+    """Filter ``df`` to rows whose ``cell`` is (not) in ``cells``.
+    Literal isin below 1024 ids; broadcast semi/anti join above (the
+    same plan-size bound operators/partition.split_hot_cells uses — a
+    10^5-element isin literal bloats every task's serialized plan)."""
+    ids = [int(c) for c in cells]
+    if len(ids) <= 1024:
+        cond = F.col("cell").isin(ids)
+        return df.filter(cond if keep else ~cond)
+    spark = df.sparkSession
+    cdf = spark.createDataFrame([(i,) for i in ids], "cell bigint")
+    how = "left_semi" if keep else "left_anti"
+    return df.join(F.broadcast(cdf), "cell", how)
+
+
+def knn_over_index_chain(
+    gens: list[DataFrame],
+    queries: DataFrame,
+    k: int,
+    d: int,
+    stats: CellStats | None = None,
+    self_join: bool = True,
+    brute_cutoff: int = 1024,
+    merge: str = "auto",
+    n_queries: int | None = None,
+) -> DataFrame:
+    """Exact kNN over an LSM-style CHAIN of index generations (see
+    operators/upsert): ``gens[0]`` is the base index, ``gens[i>0]``
+    successive upsert deltas. A cell present in several generations is
+    OWNED by the newest one holding it — an upsert rebuilds a dirty
+    cell's tree over EVERY point of that cell (base points included),
+    so the newest tree is the whole cell and older trees for it are
+    superseded.
+
+    Plan shape (the 100 TB case): cell ownership resolves driver-side
+    (O(#cells) smalls); ONE phase-1 pass prunes with the merged
+    owned-cell stats; the candidate stream — persisted once, eagerly
+    materialized (the AQE union-branch race discipline of
+    ``_merge_topk``) — is split by owning generation and cogrouped
+    against each generation's trees separately. Cells partition
+    cleanly across generations, so each candidate row runs in exactly
+    one branch; the base side keeps its at-rest bucket alignment
+    (filters preserve partitioning — no data-sized Exchange appears),
+    and deltas are small by construction. Partial unions feed the
+    standard merge; ``ncand`` comes from the joint phase 1, so the
+    single-candidate-cell merge skip stays globally correct.
+
+    Exactness under per-branch search: phase-1's ub guarantees >= k
+    points within ub across the UNION of owned cells; any cell (in any
+    generation) with lower bound above ub cannot hold a global top-k
+    member, and within each branch the kernels are exact. The global
+    top-k is therefore a subset of the unioned branch partials.
+
+    ``stats=None`` rebuilds the merged stats from the generations'
+    own summary columns (the index stays self-describing); callers
+    holding a finer stats sidecar for the logical merged index may
+    pass it instead.
+    """
+    from .index import stats_from_trees
+
+    spark = queries.sparkSession
+    # ---- driver-side cell ownership (newest generation wins) -----------
+    gen_cells = [
+        np.sort(
+            np.array(
+                [r["cell"] for r in g.select("cell").distinct().collect()],
+                dtype=np.int64,
+            )
+        )
+        for g in gens
+    ]
+    taken = np.empty(0, dtype=np.int64)
+    owned: list[np.ndarray] = [None] * len(gens)
+    for i in range(len(gens) - 1, -1, -1):
+        owned[i] = np.setdiff1d(gen_cells[i], taken)
+        taken = np.union1d(taken, gen_cells[i])
+    owned_trees = [
+        g if len(own) == len(cells) else _cells_filter(g, own, keep=True)
+        for g, own, cells in zip(gens, owned, gen_cells)
+    ]
+
+    if stats is None:
+        parts_stats = [
+            stats_from_trees(t) for t, own in zip(owned_trees, owned) if len(own)
+        ]
+        stats = CellStats(
+            cell_ids=np.concatenate([s.cell_ids for s in parts_stats]),
+            counts=np.concatenate([s.counts for s in parts_stats]),
+            centroids=np.concatenate([s.centroids for s in parts_stats]),
+            circumradii=np.concatenate([s.circumradii for s in parts_stats]),
+        )
+    if len(stats.cell_ids) > 128 and stats.coarse_of is None:
+        stats = stats.with_hierarchy(n_coarse=64)
+    stats_bc = spark.sparkContext.broadcast(stats)
+    need = k + 1 if self_join else k
+    phase1 = make_phase1(stats_bc, need)
+    qcols = [F.col("id"), F.col("vec")] + (
+        [F.col("cell").alias("home_cell")]
+        if self_join and "cell" in queries.columns
+        else []
+    )
+    candidates = queries.select(*qcols).mapInPandas(
+        counted_stream(phase1, emit_bytes=True), schema=CAND_SCHEMA
+    )
+    # several consumers read the candidate stream (one per generation):
+    # persist + eager count, or AQE compiles the branches as
+    # independent stages that each re-run phase 1 against a cold cache
+    candidates = mark_releasable(candidates.persist())
+    candidates.count()
+
+    parts = None
+    for t, own in zip(owned_trees, owned):
+        if not len(own):
+            continue
+        cand_g = _cells_filter(candidates, own, keep=True)
+        p = _tree_parts(cand_g, t, k, self_join, brute_cutoff)
+        parts = p if parts is None else parts.unionByName(p)
     return _merge_topk(parts, k, _merge_mode(stats, k, merge, nq=n_queries))
