@@ -29,7 +29,7 @@ from .core.polygons import (
 from .functions import text as tx
 from .operators import dedup, pip, similarity, tiles
 from .operators.ball_join import ball_self_join
-from .operators.knn import knn_over_index, knn_self_join
+from .operators.knn import knn_over_index, knn_over_index_chain, knn_self_join
 from .operators.partition import (
     assign_cells,
     assign_two_level,
@@ -853,6 +853,66 @@ def q_knn_over_index(spark, sf_dir):
     return out.select("src", "dst", F.col("rank").cast("bigint").alias("rank"))
 
 
+def _geo_chain(spark, sf_dir):
+    """[base gen, delta gen] tree DataFrames for the upsert-chain
+    query: the geo corpus splits into a base (6/7 of points, committed
+    as its own bucketed layout + index) and one ingest batch (1/7)
+    that operators/upsert commits as a delta generation rebuilt over
+    the dirty cells only. All four snapshots chain on the prepared
+    points-layout snapshot, so resume rules and decomposition safety
+    are identical to _geo_index; a second session reads the whole
+    chain back without rebuilding anything."""
+    from .operators.index import build_trees
+    from .operators.upsert import read_index_chain, upsert_index
+    from .plans.checkpoint import snapshot_id
+
+    key = _prep_key(spark, sf_dir, "geo_chain")
+    if key not in _PREP_CACHE:
+        pts, _stats = _geo_points(spark, sf_dir)
+        psnap = _PREP_SNAP[_prep_key(spark, sf_dir, "geo")]
+        wh = _warehouse(spark)
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # filters over the aligned layout preserve partitioning: both
+        # the base commit and the base tree build run shuffle-free
+        base = pts.filter(F.col("id") % 7 != 0).select("id", "vec", "cell")
+        batch = pts.filter(F.col("id") % 7 == 0).select("id", "vec", "cell")
+        bsnap = snapshot_id(
+            "geochain_points", [psnap], {"split": 7, "v": INDEX_V}
+        )
+        wh.checkpoint(base, "geochain_points", bsnap, bucket=("cell", nparts))
+        btsnap = snapshot_id("geochain_trees", [bsnap], {"d": 3, "v": INDEX_V})
+        wh.checkpoint(
+            build_trees(base, d=3, strategy="aligned"),
+            "geochain_trees",
+            btsnap,
+            bucket=("cell", nparts),
+        )
+        _dpsnap, dtsnap = upsert_index(
+            spark, wh, "geochain", bsnap, btsnap, batch,
+            batch_id="ingest-1", d=3, nparts=nparts,
+        )
+        gens = read_index_chain(spark, wh, "geochain", btsnap, [dtsnap], nparts)
+        _prep_insert(key, tuple(gens))
+    return list(_PREP_CACHE[key])
+
+
+def q_knn_upsert_chain(spark, sf_dir):
+    """Exact kNN over an UPSERTED index: base index (6/7 of the
+    corpus) + one ingest batch committed as a delta generation, read
+    through knn_over_index_chain. Base ∪ batch is exactly the full
+    corpus, so the answer must equal q_geo_knn's — the same oracle SQL
+    pins incremental-maintenance exactness under the driver gate.
+    Phase-1 pruning reuses the full layout's fine sub-cell stats (the
+    merged corpus IS the layout corpus, so they describe the chain
+    exactly)."""
+    gens = _geo_chain(spark, sf_dir)
+    pts, stats = _geo_points(spark, sf_dir)
+    out = knn_over_index_chain(
+        gens, pts.select("id", "vec", "cell"), k=KNN_K, d=3, stats=stats
+    )
+    return out.select("src", "dst", F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_dedup_keep(spark, sf_dir):
     """The deduplicated id set — what a pipeline actually writes out
     after exact dedup (one keeper per distinct text)."""
@@ -1139,6 +1199,7 @@ def catalog():
         "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard()),
         "knn_join_meta": (q_knn_join_meta, sql_knn_join_meta()),
         "knn_over_index": (q_knn_over_index, sql_geo_knn()),
+        "knn_upsert_chain": (q_knn_upsert_chain, sql_geo_knn()),
         "geo_degree_hist": (q_geo_degree_hist, sql_geo_degree_hist()),
         "events_rollup": (q_events_rollup, sql_events_rollup()),
         "events_sessionize": (q_events_sessionize, sql_events_sessionize()),
