@@ -210,3 +210,81 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     }
     assert len(got) == batch_ev.count()  # every event emitted once
     assert got == want
+
+
+def test_stream_knn_matches_batch_and_bruteforce(spark, tmp_path):
+    """Streaming kNN (streaming/query.py): a 3-file query stream
+    drained with foreachBatch against a persisted index must equal
+    BOTH the one-shot batch answer over the same queries and the
+    brute-force float64 oracle — per-query independence makes the
+    union over epochs exactly the batch result."""
+    from covertree_spark.operators import partition as pt
+    from covertree_spark.operators.index import build_trees, stats_from_trees
+    from covertree_spark.sources import tables as src
+    from covertree_spark.streaming.query import (
+        answer_batch,
+        read_stream_knn_results,
+        run_stream_knn,
+    )
+    from tests.conftest import SF_TINY, brute_knn
+
+    k = 5
+    ll = pt.assign_cells(src.doc_points_lonlat(spark, SF_TINY), res=3)
+    corpus = (
+        src.doc_points_xyz(spark, SF_TINY)
+        .join(ll.select("id", "cell"), "id")
+        .persist()
+    )
+    ipath = str(tmp_path / "trees")
+    build_trees(corpus, d=3).write.parquet(ipath)
+    trees = spark.read.parquet(ipath)
+    stats = stats_from_trees(trees)
+
+    # disjoint queries: seeded points on the unit sphere, f32 like the
+    # corpus, split into 3 parquet files -> 3 micro-batches
+    rng = np.random.default_rng(7)
+    Q = rng.normal(size=(120, 3))
+    Q = (Q / np.linalg.norm(Q, axis=1, keepdims=True)).astype(np.float32)
+    qsrc = str(tmp_path / "qsrc")
+    qrows = [
+        (int(10_000_000 + i), [float(x) for x in Q[i]]) for i in range(len(Q))
+    ]
+    for j in range(3):
+        spark.createDataFrame(
+            qrows[j * 40 : (j + 1) * 40], "id bigint, vec array<float>"
+        ).coalesce(1).write.mode("append").parquet(qsrc)
+
+    qstream = (
+        spark.readStream.schema("id bigint, vec array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qsrc)
+    )
+    dst = str(tmp_path / "answers")
+    run_stream_knn(
+        spark, qstream, trees, stats, dst, str(tmp_path / "ck_knn"), k=k, d=3
+    )
+
+    got = read_stream_knn_results(spark, dst)
+    tup = lambda df: sorted(  # noqa: E731
+        (r["src"], r["rank"], r["dst"])
+        for r in df.select("src", "rank", "dst").collect()
+    )
+    qdf = spark.createDataFrame(qrows, "id bigint, vec array<float>")
+    assert tup(got) == tup(answer_batch(trees, qdf, k=k, d=3, stats=stats))
+
+    # brute-force float64 oracle over the same f32 inputs
+    pdf = corpus.orderBy("id").toPandas()
+    X = np.stack(pdf["vec"].to_numpy())
+    ids = pdf["id"].to_numpy()
+    eq, ep, _ = brute_knn(X, Q.astype(np.float64), k)
+    expected, rank = [], {}
+    for q, p in zip(eq, ep):
+        rank[q] = rank.get(q, 0) + 1
+        expected.append((10_000_000 + int(q), rank[q], int(ids[p])))
+    assert tup(got) == sorted(expected)
+
+    # idempotent epochs: a restart with the same checkpoint is a no-op
+    run_stream_knn(
+        spark, qstream, trees, stats, dst, str(tmp_path / "ck_knn"), k=k, d=3
+    )
+    assert tup(read_stream_knn_results(spark, dst)) == sorted(expected)
