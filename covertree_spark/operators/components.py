@@ -1,0 +1,147 @@
+"""Connected components over a distributed edge set — the downstream
+consumer of the reference's epsilon-graphs.
+
+The reference materializes the ball-join result as a CSR graph
+(/root/reference/include/dist_graph.h:20-26, src/dist_graph.cpp:23-75)
+and leaves clustering to the caller; single-linkage clusters ARE the
+connected components of that graph, so this operator closes the loop:
+``ball_self_join`` -> ``connected_components`` = exact epsilon-linkage
+clustering (DBSCAN with min_pts=1), the standard spatial-dedup /
+region-growing step a web-scale pipeline runs on the edge output.
+
+Algorithm (Spark-first, not a translation of anything in the
+reference): alternating large-star / small-star from Kiveris et al.,
+"Connected Components in MapReduce and Beyond" (SoCC'14) — the
+published shuffle-based CC algorithm that converges in O(log^2 n)
+rounds independent of graph diameter. Label propagation would need
+O(diameter) rounds (a 100 TB web graph has long chains); driver-side
+union-find would need the edges on one machine. Each round is a
+constant number of key-partitioned aggregates and co-partitioned
+joins, all on the node-id key:
+
+  large-star(u): m = min(neighborhood(u) + {u}); every neighbor
+                 v > u is re-wired to m  -> edges (m, v)
+  small-star(u): m = min(smaller neighbors of u); u and its other
+                 smaller neighbors are wired to m
+
+Both steps strictly preserve connectivity (every rewire goes through
+a shared neighbor) and monotonically pull edges toward each
+component's minimum id; the fixpoint is a star forest rooted at the
+component minima. Convergence is detected by an (edge-count,
+xxhash64-sum) signature of the canonical edge set — one tiny agg per
+round on a frame the round already computed.
+
+Scale notes (100 TB): every shuffle is keyed on a node id — no
+broadcast of anything data-sized, no driver collect, no per-row
+Python. The edge set shrinks monotonically after the first rounds
+(distinct() caps the star-rewiring fan-out), and per-round state is
+one eagerly ``localCheckpoint``-ed (a, b) bigint frame — per-ROUND
+lineage truncation, stricter than partition.py:223's every-32, since
+a round references its input ~4 times and the analyzed plan would
+otherwise grow exponentially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _signature(e: DataFrame) -> tuple[int, int]:
+    """(count, order-independent hash) of the canonical edge set —
+    the per-round convergence probe. Also the eager materialization
+    of the round's persist (the AQE-union persist race discipline)."""
+    row = e.agg(
+        F.count("*").alias("c"),
+        # xor-fold of per-edge hashes: order-independent and immune to
+        # ANSI long-overflow (a sum of 64-bit hashes is not)
+        F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["c"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Exact connected components of the undirected graph ``edges``.
+
+    Returns (id, component) with component = the MINIMUM node id in
+    the component — deterministic, no tie-breaking needed. ``nodes``
+    (any frame with an ``id`` column) adds isolated vertices; without
+    it only endpoint vertices appear. Raises if the star forest has
+    not converged within ``max_rounds`` (O(log^2 n) expected — 64
+    covers any realistic graph; a non-converging run is a bug, not a
+    tuning knob).
+    """
+    # canonical undirected edge set: (a < b), self-loops dropped.
+    # EVERY round ends in an eager localCheckpoint: a round references
+    # its input frame several times (sym union, aggregate, join), so
+    # without per-round lineage truncation the analyzed plan grows
+    # ~4x per round and Catalyst analysis time goes exponential —
+    # persist() alone does not cap the logical plan.
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .select(F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = _signature(e)
+
+    for _rnd in range(max_rounds):
+        # ---- large-star: full neighborhoods, rewire larger neighbors
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        # m(u) = min(neighbors + self); groupBy and join share the u
+        # key, so the aggregate's shuffle feeds a co-partitioned join
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .distinct()  # m <= u < v keeps the canonical orientation
+        )
+
+        # ---- small-star: smaller neighborhoods (canonical edges of b)
+        sm = ls.groupBy("b").agg(F.min("a").alias("m"))
+        spokes = (
+            ls.join(sm, "b")
+            .where(F.col("a") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("a").alias("b"))
+        )
+        hub = sm.select(F.col("m").alias("a"), "b")
+        e = spokes.unionByName(hub).distinct().localCheckpoint(eager=True)
+
+        sig = _signature(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} rounds"
+        )
+
+    # fixpoint = star forest: each member b has exactly ONE root a
+    # (two roots for one b would merge in the next small-star), and
+    # roots never appear as members (that edge would large-star away).
+    # Every edge endpoint is therefore a member or a root; roots label
+    # themselves so all endpoints appear even without ``nodes``.
+    comp = e.select(F.col("b").alias("id"), F.col("a").alias("component")).unionByName(
+        e.select(F.col("a").alias("id"), F.col("a").alias("component")).distinct()
+    )
+    if nodes is not None:
+        comp = (
+            nodes.select("id")
+            .join(comp, "id", "left")
+            .select("id", F.coalesce("component", "id").alias("component"))
+        )
+    return comp

@@ -44,6 +44,7 @@ from .sources import vecfiles
 
 # ---- tuned constants (clearance-verified in tests) -------------------------
 GEO_BALL_R = 0.28  # chord radius, unit sphere
+GEO_CC_R = 0.10  # components radius: 178 comps, max 128, clearance 1.1e-4 @sf0.01
 EMB_BALL_R = 1.1
 COS_TAU = 0.35
 JACCARD_PCT = 80
@@ -765,6 +766,38 @@ def q_geo_degree_hist(spark, sf_dir):
     )
 
 
+def q_geo_components(spark, sf_dir):
+    """Single-linkage epsilon-clusters: exact connected components
+    (label = component min id) of the epsilon-graph at GEO_CC_R — the
+    downstream clustering step over the reference's CSR graph output
+    (dist_graph.h:20-26), via alternating large-star/small-star
+    (operators/components.py). GEO_CC_R is tighter than GEO_BALL_R so
+    the fixture has real structure (178 components at sf0.01, largest
+    128 — multi-round merges), not one giant blob."""
+    from .operators.components import connected_components
+
+    pts, stats = _geo_points(spark, sf_dir)
+    edges = ball_self_join(pts, GEO_CC_R, d=3, stats=stats).select("src", "dst")
+    return connected_components(edges, nodes=pts).select("id", "component")
+
+
+def sql_geo_components():
+    """DuckDB oracle: transitive closure by recursive CTE — each node
+    accumulates every reachable label, min(label) per node is the
+    component minimum (UNION-dedup bounds the closure; component
+    sizes at sf0.01 cap it at ~128^2 rows)."""
+    cte = _PTS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        cte
+        + ", e AS (SELECT a.id AS src, b.id AS dst FROM xyz a JOIN xyz b ON a.id <> b.id "
+        "WHERE sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z)) "
+        f"<= {GEO_CC_R!r}), "
+        "reach AS (SELECT id AS node, id AS label FROM xyz "
+        "UNION SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node) "
+        "SELECT node AS id, MIN(label) AS component FROM reach GROUP BY node"
+    )
+
+
 def sql_geo_degree_hist():
     return (
         _PTS_CTE
@@ -1201,6 +1234,7 @@ def catalog():
         "knn_over_index": (q_knn_over_index, sql_geo_knn()),
         "knn_upsert_chain": (q_knn_upsert_chain, sql_geo_knn()),
         "geo_degree_hist": (q_geo_degree_hist, sql_geo_degree_hist()),
+        "geo_components": (q_geo_components, sql_geo_components()),
         "events_rollup": (q_events_rollup, sql_events_rollup()),
         "events_sessionize": (q_events_sessionize, sql_events_sessionize()),
         "dedup_keep": (q_dedup_keep, sql_dedup_keep()),
