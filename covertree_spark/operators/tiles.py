@@ -196,6 +196,52 @@ def tile_histogram(points: DataFrame, zoom: int, lon_col="lon", lat_col="lat") -
     )
 
 
+def tile_pyramid(
+    points: DataFrame,
+    zoom: int,
+    min_zoom: int = 0,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Raster overview pyramid: (zoom, tile, cnt) for every level in
+    ``[min_zoom, zoom]`` — the standard tile-server rollup (one
+    overview per coarser zoom).
+
+    Build order matters at 100 TB: points aggregate ONCE, at the
+    finest zoom (the only O(points) pass); every coarser level rolls
+    up the PREVIOUS level's histogram. Child->parent is pure shift
+    arithmetic on the tile id (exact — power-of-two scaling commutes
+    with floor, and the edge clamp maps child max-index to parent
+    max-index), so level z shuffles at most 4^(z+1) histogram rows,
+    never points, and the whole pyramid costs one points-sized shuffle
+    plus a geometrically-vanishing tail. The oracle recomputes each
+    level DIRECTLY from lon/lat (`sql_cell_expr` at that zoom): hash
+    equality proves the rollup identity, not just self-consistency."""
+    from functools import reduce
+
+    base = tile_histogram(points, zoom, lon_col, lat_col).select(
+        F.lit(zoom).cast("bigint").alias("zoom"), "tile", "cnt"
+    )
+    levels = [base]
+    cur = base
+    for z in range(zoom - 1, min_zoom - 1, -1):
+        # child ids live at zoom z+1: tile = ix*2^(z+1) + iy
+        p_tile = (
+            F.shiftright(F.col("tile"), z + 2) * F.lit(1 << z)
+            + F.shiftright(
+                F.col("tile").bitwiseAND(F.lit((1 << (z + 1)) - 1)), 1
+            )
+        ).cast("bigint")
+        cur = (
+            cur.select(p_tile.alias("tile"), "cnt")
+            .groupBy("tile")
+            .agg(F.sum("cnt").alias("cnt"))
+            .select(F.lit(z).cast("bigint").alias("zoom"), "tile", "cnt")
+        )
+        levels.append(cur)
+    return reduce(lambda a, b: a.unionByName(b), levels)
+
+
 def tile_window(
     points: DataFrame,
     zoom: int,

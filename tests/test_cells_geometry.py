@@ -270,6 +270,30 @@ def test_tile_bounds_inverse_of_assign(spark):
     assert np.array_equal(mid, pdf["tile"].to_numpy())
 
 
+def test_tile_pyramid_rollup_identity(spark):
+    """Every pyramid level equals the direct per-level histogram (the
+    rollup never re-reads points, but must be indistinguishable from a
+    recompute), and per-level totals are conserved."""
+    from covertree_spark.operators.tiles import tile_histogram, tile_pyramid
+    from covertree_spark.sources.pages import generate_pages, pages_to_points
+
+    pts = pages_to_points(generate_pages(spark, 800, partitions=4)).persist()
+    z = 5
+    pyr = {
+        (r["zoom"], r["tile"]): r["cnt"]
+        for r in tile_pyramid(pts, z, min_zoom=0).collect()
+    }
+    for zz in range(z + 1):
+        direct = {
+            (zz, r["tile"]): r["cnt"]
+            for r in tile_histogram(pts, zz).collect()
+        }
+        got = {k: v for k, v in pyr.items() if k[0] == zz}
+        assert got == direct, f"zoom {zz} rollup != direct"
+        assert sum(got.values()) == 800
+    pts.unpersist()
+
+
 def test_pip_table_parity_with_broadcast_path(spark):
     """The polygon-TABLE join (cogroup on covering tiles) returns
     exactly the broadcast pip_join's pairs on both fixture families —
