@@ -101,6 +101,103 @@ def sql_lang_scores(table: str = "documents") -> str:
     return f"SELECT doc_id, {', '.join(parts)} FROM {table}"
 
 
+# ---- html -> text extraction (input_hint invariant surface) ----------------
+
+HTML_TAG_RE = "<[^>]*>"
+
+
+def extract_text_col(html: Column) -> Column:
+    """``html:binary`` -> extracted text, entirely JVM-side (UTF-8
+    decode + regexp tag-strip, inside whole-stage codegen — no Python
+    anywhere on the path, so it runs at scan throughput over a 10^12-row
+    Iceberg table).
+
+    The BASELINE input_hint pins *byte-identical extracted text per
+    url* as the per-row invariant. For wrapper-style markup — tags
+    carrying no inter-tag text of their own, the synthetic pages format
+    (sources/pages.py:58) — extraction reproduces the ``text`` column
+    byte-for-byte: oracle-gated by the ``extract_text`` catalog entry
+    and asserted against ``generate_pages`` in tests."""
+    return F.regexp_replace(F.decode(html, "UTF-8"), HTML_TAG_RE, "")
+
+
+# ---- repetition metrics (Gopher-style quality signals) ---------------------
+# Training-data pipelines gate documents on REPETITION: type/token
+# ratio and the share of the most common n-gram (Rae et al. 2021,
+# "Scaling Language Models", table A1 — public). All components are
+# INTEGER-exact across engines (the oracle playbook: never emit a
+# float ratio; downstream predicates use integer cross-multiplication).
+
+
+def repetition_components(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, n_bigrams,
+    n_distinct_bigrams, top_bigram_count) — all bigint, all computed
+    INSIDE one row (no explode/shuffle: the per-document arrays never
+    leave the scan task, so the op runs at scan throughput at any
+    corpus size; contrast explode->groupBy(doc, bigram), which
+    shuffles one row per TOKEN).
+
+    ``top_bigram_count`` (the max multiplicity of any word bigram) is
+    a sort + one fold over the sorted array — O(m log m) per doc,
+    whole-stage-codegen'd, no Python. Equal-length slice pair keeps
+    zip_with away from null padding."""
+    w = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE)
+    n = F.size(w)
+    bg = F.zip_with(
+        F.slice(w, F.lit(1), n - F.lit(1)),
+        F.slice(w, F.lit(2), n - F.lit(1)),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    sorted_bg = F.sort_array(bg)
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top = F.aggregate(sorted_bg, zero, step, lambda acc: acc["best"])
+    return df.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct_tokens"),
+        F.size(bg).cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct(bg)).cast("bigint").alias("n_distinct_bigrams"),
+        top.cast("bigint").alias("top_bigram_count"),
+    )
+
+
+def sql_repetition_components(table: str = "documents") -> str:
+    # the oracle recomputes top_bigram_count the O(distinct x m) naive
+    # way — different algorithm, same integers (stronger evidence than
+    # mirroring the fold)
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '{TOKEN_SPLIT_RE}') AS ws
+  FROM {table}
+), base AS (
+  SELECT doc_id, ws,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) AS bg
+  FROM w
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_tokens,
+       CAST(len(bg) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams,
+       CAST(coalesce(list_max(list_transform(list_distinct(bg),
+            g -> len(list_filter(bg, x -> x = g)))), 0) AS BIGINT)
+         AS top_bigram_count
+FROM base
+"""
+
+
 # ---- deterministic token / shingle hashing (numpy, engine-neutral) ---------
 
 _HASH_BASE = 257

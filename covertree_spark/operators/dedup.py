@@ -174,6 +174,93 @@ WHERE 100 * inter >= {min_jaccard_pct} * (sa.sz + sb.sz - inter)
 """
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    overlap_pct: int = 50,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: the training-corpus ids that survive
+    both leakage gates against an eval set (the GPT-3 appendix-C /
+    PaLM n-gram contamination rule, public):
+
+      exact    — drop docs whose text equals any eval doc's
+                 (anti-join on the 256-bit content hash, 32-byte keys);
+      n-gram   — drop docs where >= ``overlap_pct``% of their distinct
+                 word n-gram shingles appear in ANY eval doc.
+
+    The eval side is BROADCAST twice (hash set, then shingle set) —
+    eval sets are small by nature (10^3-10^5 docs), so at 100 TB the
+    corpus is touched in two scan-local passes with zero corpus
+    shuffle beyond the per-doc hit aggregate (map-side combined on
+    doc_id, which lives in the scan partitioning). A corpus-scale
+    contamination source would swap the broadcast for a bloom-filter
+    prefilter + equi-join; the rule is unchanged.
+
+    Docs with fewer than ``n`` tokens carry no shingles and pass the
+    n-gram gate (no evidence — same convention as shingles_df).
+    Integer cross-multiplied threshold; outputs are ids only."""
+    eval_h = eval_docs.select(F.sha2(F.col("text"), 256).alias("_h")).distinct()
+    corp = docs.join(
+        F.broadcast(eval_h),
+        F.sha2(F.col("text"), 256) == F.col("_h"),
+        "left_anti",
+    )
+    eval_sh = shingles_df(eval_docs, n).select("shingle").distinct()
+    corp_sh = shingles_df(corp, n)
+    sizes = corp_sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    hits = (
+        corp_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    contaminated = (
+        sizes.join(hits, "doc_id")
+        .filter(F.lit(100) * F.col("hits") >= F.lit(overlap_pct) * F.col("sz"))
+        .select("doc_id")
+    )
+    return corp.select("doc_id").join(contaminated, "doc_id", "left_anti")
+
+
+def sql_decontaminate(
+    eval_pred: str, n: int = 3, overlap_pct: int = 50, table: str = "documents"
+) -> str:
+    """Oracle: same rule, structure-free — raw-text equality for the
+    exact gate (hash equality <=> text equality; the engine's 256-bit
+    hash keying is pinned separately by the exact-dedup pytest oracle)
+    and a plain shingle join for the n-gram gate. ``eval_pred`` is a
+    SQL predicate over ``documents`` selecting the eval set."""
+    return f"""
+WITH ev AS (
+  SELECT * FROM {table} WHERE {eval_pred}
+), corp AS (
+  SELECT d.* FROM {table} d
+  WHERE NOT ({eval_pred.replace('doc_id', 'd.doc_id')})
+    AND NOT EXISTS (SELECT 1 FROM ev e WHERE e.text = d.text)
+), csh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - {n - 1}),
+                               i -> array_to_string(t[i:i+{n - 1}], ' '))) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ ]+') AS t FROM corp)
+), esh AS (
+  SELECT DISTINCT
+         unnest(list_transform(generate_series(1, len(t) - {n - 1}),
+                               i -> array_to_string(t[i:i+{n - 1}], ' '))) AS shingle
+  FROM (SELECT regexp_split_to_array(trim(text), '[ ]+') AS t FROM ev)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM csh GROUP BY doc_id
+), hits AS (
+  SELECT c.doc_id, count(*) AS hits FROM csh c JOIN esh USING (shingle)
+  GROUP BY c.doc_id
+), flagged AS (
+  SELECT s.doc_id FROM sizes s JOIN hits h USING (doc_id)
+  WHERE 100 * h.hits >= {overlap_pct} * s.sz
+)
+SELECT doc_id FROM corp
+WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+"""
+
+
 # ---- MinHash + LSH ----------------------------------------------------------
 
 _MH_PRIME = (1 << 61) - 1

@@ -525,6 +525,27 @@ def sql_tile_histogram():
     return f"SELECT {t} AS tile, count(*) AS cnt FROM documents GROUP BY 1"
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Overview pyramid HIST_Z..0: points aggregate once at HIST_Z,
+    coarser levels roll up the previous level's histogram (shift
+    arithmetic on tile ids — never re-touching points). The oracle
+    recomputes every level directly from lon/lat, so a green row
+    proves the rollup identity child->parent == direct assignment."""
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    return tiles.tile_pyramid(pts, HIST_Z, min_zoom=0)
+
+
+def sql_tile_pyramid():
+    parts = []
+    for z in range(HIST_Z + 1):
+        t = cellcodec.sql_cell_expr(_LON_E, _LAT_E, z)
+        parts.append(
+            f"SELECT CAST({z} AS BIGINT) AS zoom, {t} AS tile, "
+            f"count(*) AS cnt FROM documents GROUP BY 1, 2"
+        )
+    return " UNION ALL ".join(parts)
+
+
 COVER_Z = 6  # polygon rasterization zoom (64x64 grid)
 
 
@@ -677,6 +698,63 @@ def sql_dedup_exact():
     )
 
 
+def q_extract_text(spark, sf_dir):
+    """html:binary -> text through the JVM extractor. The query
+    round-trips each document through the input_hint's page shape —
+    encode text into a markup wrapper, then extract — and the oracle
+    hash-compares against the raw ``text`` column, so a green row IS
+    the byte-identical-extracted-text-per-url invariant, checked as a
+    first-class catalog gate rather than only a pytest assertion
+    (north_rule; reference keeps page payloads opaque through
+    src/dist_point_vector.cpp's point pipeline the same way)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("<html><head></head><body>"),
+                F.col("text"),
+                F.lit("</body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return pages.select(
+        "doc_id", tx.extract_text_col(F.col("html")).alias("text")
+    )
+
+
+def sql_extract_text():
+    # the oracle is the untouched source column: hash equality proves
+    # the Spark-side encode -> decode -> tag-strip chain is the identity
+    return "SELECT doc_id, text FROM documents"
+
+
+# decontamination eval set: a deterministic slice of the corpus plays
+# the held-out benchmark (doc_id % DECON_MOD == 0); contamination =
+# exact text match OR >= DECON_PCT% of a doc's distinct 3-gram
+# shingles appearing anywhere in the eval set (GPT-3 appendix-C rule)
+DECON_MOD = 37
+DECON_PCT = 50
+
+
+def q_decontaminate(spark, sf_dir):
+    """Training-corpus decontamination against an eval set: broadcast
+    hash anti-join (exact leak) + broadcast shingle-set hit fraction
+    (n-gram leak). Returns surviving doc_ids; both gates integer-exact
+    (operators/dedup.decontaminate)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    corp = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    return dedup.decontaminate(corp, ev, n=3, overlap_pct=DECON_PCT)
+
+
+def sql_decontaminate():
+    return dedup.sql_decontaminate(
+        f"doc_id % {DECON_MOD} = 0", n=3, overlap_pct=DECON_PCT
+    )
+
+
 def q_token_count(spark, sf_dir):
     docs = src.load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -699,6 +777,47 @@ def q_quality(spark, sf_dir):
 
 def sql_quality():
     return tx.sql_quality_components()
+
+
+# repetition_filter thresholds: top bigram < 1/REP_TOP_MULT of bigrams
+# AND type/token ratio >= 1/REP_TTR_MULT — integer cross-multiplied in
+# both engines (no float ratio ever materializes). At sf0.01 the
+# conjunction keeps a nontrivial subset (~170/500), so the gate
+# actually discriminates.
+REP_TOP_MULT = 20
+REP_TTR_MULT = 2
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals, one pass inside the scan task
+    (no explode, no shuffle — see functions/text.repetition_components)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return tx.repetition_components(docs)
+
+
+def sql_repetition():
+    return tx.sql_repetition_components()
+
+
+def q_repetition_filter(spark, sf_dir):
+    """The training-data repetition GATE: keep documents whose most
+    common bigram is rare and whose type/token ratio is high —
+    predicates are integer cross-multiplications, so both engines
+    decide identically on every row."""
+    comp = tx.repetition_components(src.load_table(spark, sf_dir, "documents"))
+    return comp.filter(
+        (F.col("top_bigram_count") * REP_TOP_MULT <= F.col("n_bigrams"))
+        & (F.col("n_distinct_tokens") * REP_TTR_MULT >= F.col("n_tokens"))
+    ).select("doc_id", "n_tokens", "top_bigram_count")
+
+
+def sql_repetition_filter():
+    return (
+        f"WITH comp AS ({tx.sql_repetition_components()}) "
+        "SELECT doc_id, n_tokens, top_bigram_count FROM comp "
+        f"WHERE top_bigram_count * {REP_TOP_MULT} <= n_bigrams "
+        f"AND n_distinct_tokens * {REP_TTR_MULT} >= n_tokens"
+    )
 
 
 def q_lang_scores(spark, sf_dir):
@@ -1107,6 +1226,42 @@ def sql_events_rollup():
     )
 
 
+ASOF_BUCKET_US = 3_600_000_000  # 1h salt buckets for the as-of join
+
+
+def q_events_asof(spark, sf_dir):
+    """AS-OF join: every 'click' matched to the user's LATEST 'view'
+    at or before it (the attribution query; kdb aj / pandas
+    merge_asof). Runs the HOT-KEY-BOUNDED two-phase plan
+    (operators/asof.py) — per-(user, 1h-bucket) local windows + a
+    bucket-summary carry, so no task holds a hot user's history. The
+    oracle is DuckDB's lateral top-1 formulation — a third, structure-
+    free derivation of the same semantics. No-match encodes as
+    (-1, -1); lag_us is microsecond-exact integer arithmetic."""
+    from .operators.asof import asof_join
+
+    ev = src.load_table(spark, sf_dir, "events")
+    return asof_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        bucket_us=ASOF_BUCKET_US,
+    )
+
+
+def sql_events_asof():
+    return (
+        "SELECT c.event_id AS event_id, c.user_id AS user_id, "
+        "coalesce(v.event_id, -1) AS matched_id, "
+        "coalesce(epoch_us(c.ts) - v.vus, -1) AS lag_us "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+        "LEFT JOIN LATERAL ("
+        "SELECT event_id, epoch_us(ts) AS vus FROM events v "
+        "WHERE v.event_type = 'view' AND v.user_id = c.user_id "
+        "AND v.ts <= c.ts ORDER BY v.ts DESC, v.event_id DESC LIMIT 1"
+        ") v ON true"
+    )
+
+
 def _fvecs_fixture(spark, sf_dir) -> str:
     """Materialize the embeddings table as a reference-format .fvecs
     file, once per (session, sf). The driver-side write is FIXTURE
@@ -1211,6 +1366,7 @@ def catalog():
         "tile_assign": (q_tile_assign, sql_tile_assign()),
         "tile_histogram": (q_tile_histogram, sql_tile_histogram()),
         "tile_window": (q_tile_window, sql_tile_window()),
+        "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid()),
         "tile_poly_cover": (q_tile_poly_cover, sql_tile_poly_cover()),
         "tile_poly_cover_concave": (
             q_tile_poly_cover_concave,
@@ -1226,8 +1382,12 @@ def catalog():
         "cosine_topk": (q_cosine_topk, sql_cosine_topk()),
         "emb_neardup": (q_emb_neardup, sql_emb_neardup()),
         "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
+        "extract_text": (q_extract_text, sql_extract_text()),
+        "decontaminate": (q_decontaminate, sql_decontaminate()),
         "token_count": (q_token_count, sql_token_count()),
         "quality": (q_quality, sql_quality()),
+        "repetition": (q_repetition, sql_repetition()),
+        "repetition_filter": (q_repetition_filter, sql_repetition_filter()),
         "lang_scores": (q_lang_scores, sql_lang_scores()),
         "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard()),
         "knn_join_meta": (q_knn_join_meta, sql_knn_join_meta()),
@@ -1240,6 +1400,7 @@ def catalog():
         "dedup_keep": (q_dedup_keep, sql_dedup_keep()),
         "quality_filter": (q_quality_filter, sql_quality_filter()),
         "lang_predict": (q_lang_predict, sql_lang_predict()),
+        "events_asof": (q_events_asof, sql_events_asof()),
         "events_top_users": (q_events_top_users, sql_events_top_users()),
         "vecfile_ball_join": (q_vecfile_ball_join, sql_emb_ball_join()),
         "minhash_neardup": (q_minhash_neardup, None),

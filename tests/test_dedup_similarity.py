@@ -388,3 +388,27 @@ def test_ivf_calibrated_dial_reaches_recall90(spark):
     )
     idx.pts.unpersist()
     release_intermediates()
+
+
+def test_decontaminate_planted_leaks(spark):
+    """Planted contamination: a verbatim eval copy falls to the exact
+    gate, a 4/5-shingle-overlap doc falls to the n-gram gate, a
+    disjoint doc and a sub-threshold-overlap doc survive, and a
+    shingle-free short doc survives by convention."""
+    ev_text = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        (0, ev_text),                                   # the eval doc
+        (1, ev_text),                                   # exact leak
+        (2, "alpha beta gamma delta epsilon zeta XX"),  # 4/5 shingles shared
+        (3, "one two three four five six seven"),       # disjoint
+        (4, "alpha beta gamma QQ RR SS TT UU VV WW"),   # 1/8 shared < 50%
+        (5, "hi there"),                                # < n tokens: no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ev = df.filter("doc_id = 0")
+    corp = df.filter("doc_id <> 0")
+    kept = {
+        r["doc_id"]
+        for r in dedup.decontaminate(corp, ev, n=3, overlap_pct=50).collect()
+    }
+    assert kept == {3, 4, 5}

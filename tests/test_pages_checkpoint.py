@@ -35,6 +35,46 @@ def test_text_byte_identity_through_stages(spark):
     assert all(got[u].encode() == orig[u].encode() for u in orig)
 
 
+def test_extract_text_byte_identity(spark):
+    """html:binary -> text extraction reproduces the text column
+    byte-for-byte on the pages format (JVM decode + tag-strip; the
+    catalog's extract_text entry gates the same invariant vs DuckDB)."""
+    from covertree_spark.functions.text import extract_text_col
+
+    pages = generate_pages(spark, 300, partitions=3)
+    got = pages.select(
+        "url", "text", extract_text_col(F.col("html")).alias("extracted")
+    ).collect()
+    assert len(got) == 300
+    for r in got:
+        assert r["extracted"].encode() == r["text"].encode(), r["url"]
+
+
+def test_repetition_components_hand_fixture(spark):
+    """top_bigram_count's sorted-array fold vs hand-counted documents
+    (the oracle gate re-derives it a third way, O(distinct x m))."""
+    from covertree_spark.functions.text import repetition_components
+
+    rows = [
+        # "a b a b a" -> bigrams [a b, b a, a b, b a]: top=2, distinct=2
+        (1, "a b a b a"),
+        (2, "x"),          # 1 token: no bigrams, top=0
+        (3, "q q q q"),    # bigrams [q q]x3: top=3, distinct=1
+        (4, "u v w"),      # all unique: top=1
+        (5, ""),           # split('') -> [''] : 1 token, no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_components(df).collect()}
+    assert got[1] == dict(doc_id=1, n_tokens=5, n_distinct_tokens=2,
+                          n_bigrams=4, n_distinct_bigrams=2, top_bigram_count=2)
+    assert got[2] == dict(doc_id=2, n_tokens=1, n_distinct_tokens=1,
+                          n_bigrams=0, n_distinct_bigrams=0, top_bigram_count=0)
+    assert got[3] == dict(doc_id=3, n_tokens=4, n_distinct_tokens=1,
+                          n_bigrams=3, n_distinct_bigrams=1, top_bigram_count=3)
+    assert got[4]["top_bigram_count"] == 1
+    assert got[5]["n_bigrams"] == 0 and got[5]["top_bigram_count"] == 0
+
+
 def test_featurize_unit_norm_float32(spark):
     pages = generate_pages(spark, 100, partitions=2)
     vecs = featurize_text(pages, d=16).collect()

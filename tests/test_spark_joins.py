@@ -433,3 +433,80 @@ def test_sessionize_hot_user_bounded(spark):
     max_per_bucket, n_buckets = int(occ[0]), int(occ[1])
     assert max_per_bucket <= bucket_us // (60 * 1_000_000) + 1  # <= 121
     assert n_buckets > 1000  # the hot key salts wide
+
+
+def test_asof_hand_fixture(spark):
+    """As-of semantics pinned by hand: equal-ts rights match (as-of
+    includes now), equal-ts right ties break to the larger id, carries
+    cross empty buckets, and no-match encodes (-1, -1). bucket_us=100
+    forces every cross-bucket path at fixture scale."""
+    from covertree_spark.operators.asof import asof_join
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(i, u, us) for (i, u, us) in rows],
+            "event_id bigint, user_id bigint, _us bigint",
+        ).select(
+            "event_id", "user_id", F.timestamp_micros(F.col("_us")).alias("ts")
+        )
+
+    views = ev([(10, 1, 100), (11, 1, 100), (12, 1, 250), (30, 2, 500)])
+    clicks = ev([(20, 1, 50), (21, 1, 100), (22, 1, 260), (23, 1, 1000),
+                 (31, 2, 499), (32, 2, 10_000)])
+    got = {
+        r["event_id"]: (r["matched_id"], r["lag_us"])
+        for r in asof_join(clicks, views, bucket_us=100).collect()
+    }
+    assert got == {
+        20: (-1, -1),      # no view yet
+        21: (11, 0),       # equal ts matches; id tie-break to 11
+        22: (12, 10),      # same-bucket local match
+        23: (12, 750),     # carry across empty buckets
+        31: (-1, -1),      # view is 1us later
+        32: (30, 9_500),   # carry across a wide gap
+    }
+
+
+def test_asof_hot_user_bounded(spark):
+    """One user, 300k events: the two-phase bucket+carry plan matches
+    the classic one-window formulation EXACTLY while no phase-1 task
+    holds the whole key (same contract as sessionize)."""
+    from covertree_spark.operators.asof import asof_join, asof_join_single_window
+
+    n = 300_000
+    BUCKET = 3_600_000_000  # 1h
+    # one event per 7s; every 3rd is a view, others click; every 100th
+    # jumps 2h so plenty of buckets are empty (exercises the carry)
+    us = (
+        F.col("id") * F.lit(7 * 1_000_000)
+        + F.floor(F.col("id") / 100) * F.lit(2 * BUCKET)
+    )
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.lit(7).cast("bigint").alias("user_id"),
+        F.timestamp_micros(us).alias("ts"),
+        (F.col("id") % 3 == 0).alias("is_view"),
+    )
+    views = ev.filter("is_view").drop("is_view")
+    clicks = ev.filter("NOT is_view").drop("is_view")
+    got = asof_join(clicks, views, bucket_us=BUCKET)
+    want = asof_join_single_window(clicks, views)
+    merged = got.alias("a").join(want.alias("b"), ["event_id", "user_id"], "full")
+    n_clicks = n - (n + 2) // 3
+    assert merged.count() == n_clicks
+    assert (
+        merged.filter(
+            (F.col("a.matched_id") != F.col("b.matched_id"))
+            | (F.col("a.lag_us") != F.col("b.lag_us"))
+        ).count()
+        == 0
+    )
+    # spot-invariant: every click after the first view has a match
+    assert got.filter("matched_id = -1").count() == 0
+    # task-size contract: events per (user, bucket) is bounded by rate
+    occ = (
+        ev.select(F.floor(F.unix_micros("ts") / BUCKET).alias("bkt"))
+        .groupBy("bkt").count().agg(F.max("count"), F.count("*")).first()
+    )
+    assert int(occ[0]) <= BUCKET // (7 * 1_000_000) + 1
+    assert int(occ[1]) > 1000
