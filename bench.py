@@ -76,7 +76,11 @@ BENCH_QUERIES = [
     "minhash_neardup",
     "simhash_neardup",
     "tile_histogram",
+    "tile_pyramid",
     "pip_convex",
+    "repetition",
+    "events_asof",
+    "decontaminate",
 ]
 
 
@@ -186,6 +190,36 @@ def main() -> None:
 
     timings = {n: min(ts) for n, ts in warm_passes.items()}
 
+    # PLUMBING FLOOR: an IDENTITY-kernel cogroup over the emb layout —
+    # the same two python stages (ghost mapInPandas elided, cogroup
+    # applyInPandas) with zero join work. At bench sf the ball joins
+    # sit ON this floor (profiled: floor 1.3s vs emb_ball_join 1.1-1.6s
+    # warm; executor CPU < 0.7s of an 11s task-time total), so their
+    # wall time measures per-task python dispatch + AQE latency, which
+    # is per-TASK, not per-byte — it amortizes at scale and tracks host
+    # scheduling noise round-to-round. Recording it in-artifact makes a
+    # ball-join "regression" distinguishable from a plan change: wall
+    # within ~1.2x of the floor == dispatch-bound, nothing to chase.
+    import pandas as pd
+
+    pts, _stats = Q._emb_points(spark, SF_DIR)
+    _empty = pts.select("cell", "id").limit(0)
+
+    def _ident(_l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [len(r)]})
+
+    floor_df = (
+        _empty.groupby("cell")
+        .cogroup(pts.select("cell", "id", "vec").groupby("cell"))
+        .applyInPandas(_ident, schema="n bigint")
+    )
+    floor_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        floor_df.count()
+        floor_runs.append(round(time.time() - t0, 3))
+    cogroup_floor = min(floor_runs)
+
     # IVF quality evidence: recall@5 vs the exact cosine top-k at this
     # sf, across nprobe (the accuracy/cost dial), PLUS the index's own
     # build-time-calibrated dial (round-4 VERDICT #2 — the catalog
@@ -246,6 +280,7 @@ def main() -> None:
         "unit": "q/s",
         "queries": timings,
         "probe_spread": round(max(probes) / min(probes), 3),
+        "cogroup_floor_s": cogroup_floor,
         "runs_per_query": PASSES,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
@@ -261,6 +296,7 @@ def main() -> None:
         cand_shuffle_bytes=cand_bytes,
         warm_passes=warm_passes,
         host_probes_s=probes,
+        cogroup_floor_runs_s=floor_runs,
         ivf_recall_at_5=ivf_recall,
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

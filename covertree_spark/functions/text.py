@@ -198,6 +198,44 @@ FROM base
 """
 
 
+# ---- deterministic content-keyed dataset split ------------------------------
+# Train/val/test assignment must be (a) reproducible across runs and
+# engines, (b) keyed on CONTENT, not row id — exact duplicates (and
+# anything sharing their text) must land in the SAME split, or dedup
+# order silently leaks eval text into train. Bucket = first 32 bits of
+# sha256(text) mod 100 — both engines compute the identical integer
+# (Spark conv(hex,16,10) / DuckDB CAST('0x'||hex AS BIGINT)).
+
+
+def split_bucket_col(text: Column) -> Column:
+    return (
+        F.conv(F.substring(F.sha2(text, 256), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+
+
+def split_col(text: Column, train_pct: int = 80, val_pct: int = 10) -> Column:
+    b = split_bucket_col(text)
+    return (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def sql_split_bucket(text_expr: str) -> str:
+    return f"(CAST('0x' || substr(sha256({text_expr}), 1, 8) AS BIGINT) % 100)"
+
+
+def sql_split(text_expr: str, train_pct: int = 80, val_pct: int = 10) -> str:
+    b = sql_split_bucket(text_expr)
+    return (
+        f"(CASE WHEN {b} < {train_pct} THEN 'train' "
+        f"WHEN {b} < {train_pct + val_pct} THEN 'val' "
+        f"ELSE 'test' END)"
+    )
+
+
 # ---- deterministic token / shingle hashing (numpy, engine-neutral) ---------
 
 _HASH_BASE = 257

@@ -755,6 +755,27 @@ def sql_decontaminate():
     )
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic content-keyed train/val/test assignment (80/10/10):
+    bucket = first 32 bits of sha256(text) mod 100, so the split is
+    reproducible across runs, engines, AND dedup order — duplicate
+    texts always share a split (functions/text.split_col). Pure JVM
+    projection; runs at scan throughput."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.split_bucket_col(F.col("text")).alias("bucket"),
+        tx.split_col(F.col("text")).alias("split"),
+    )
+
+
+def sql_dataset_split():
+    return (
+        f"SELECT doc_id, {tx.sql_split_bucket('text')} AS bucket, "
+        f"{tx.sql_split('text')} AS split FROM documents"
+    )
+
+
 def q_token_count(spark, sf_dir):
     docs = src.load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -1384,6 +1405,7 @@ def catalog():
         "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
         "extract_text": (q_extract_text, sql_extract_text()),
         "decontaminate": (q_decontaminate, sql_decontaminate()),
+        "dataset_split": (q_dataset_split, sql_dataset_split()),
         "token_count": (q_token_count, sql_token_count()),
         "quality": (q_quality, sql_quality()),
         "repetition": (q_repetition, sql_repetition()),

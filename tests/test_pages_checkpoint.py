@@ -244,3 +244,58 @@ def test_warehouse_gc_removes_only_dangling(spark, tmp_path):
     assert removed == [dangling]
     assert not os.path.exists(dangling)
     assert wh.read(spark, "tbl", "snapA").count() == 10
+
+
+def test_dataset_split_content_keyed(spark):
+    """Duplicate texts always share a split (content-keyed, not
+    id-keyed), assignment is deterministic, and proportions are near
+    80/10/10 over a 2000-doc sample."""
+    from covertree_spark.functions.text import split_bucket_col, split_col
+
+    base = generate_pages(spark, 1000, partitions=4).select(
+        F.col("id").alias("doc_id"), "text"
+    )
+    # plant exact duplicates under fresh ids
+    dup = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    df = base.unionByName(dup).select(
+        "doc_id", "text",
+        split_bucket_col(F.col("text")).alias("bucket"),
+        split_col(F.col("text")).alias("split"),
+    )
+    rows = df.collect()
+    by_text = {}
+    for r in rows:
+        by_text.setdefault(r["text"], set()).add((r["bucket"], r["split"]))
+    assert all(len(v) == 1 for v in by_text.values())  # dup -> same split
+    from collections import Counter
+
+    c = Counter(r["split"] for r in rows)
+    assert c["train"] + c["val"] + c["test"] == 2000
+    assert 0.7 < c["train"] / 2000 < 0.9
+    assert 0.04 < c["val"] / 2000 < 0.16
+
+
+def test_scan_local_ops_have_no_exchange(spark):
+    """PLAN CONTRACT: the per-document text ops (repetition components,
+    html->text extraction, dataset split) are pure projections — their
+    physical plans must contain no Exchange (shuffle) and no Python
+    UDF node; they run at scan throughput at any corpus size."""
+    from covertree_spark.functions.text import (
+        extract_text_col,
+        repetition_components,
+        split_col,
+    )
+
+    pages = generate_pages(spark, 50, partitions=2)
+    docs = pages.select(F.col("id").alias("doc_id"), "text", "html")
+    plans = {
+        "repetition": repetition_components(docs),
+        "extract": docs.select(extract_text_col(F.col("html"))),
+        "split": docs.select(split_col(F.col("text"))),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+        assert "PythonUDF" not in plan and "ArrowEval" not in plan, (
+            f"{name} leaves the JVM:\n{plan}"
+        )
