@@ -755,6 +755,56 @@ def sql_decontaminate():
     )
 
 
+VOCAB_K = 20  # < the 31-token synthetic vocabulary, so the top-K
+# boundary (and its cnt-desc/token-asc tie-break) actually binds at
+# the oracle scale
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-K tokens by total occurrences, with doc
+    frequency — the tokenizer-training / IDF table. One explode ->
+    hash aggregate; map-side partial aggregation collapses zipfian hot
+    tokens inside each scan task, so the shuffle carries one row per
+    (partition, distinct token), not per occurrence. Deterministic
+    tie-break (cnt desc, token asc) makes the top-K boundary exact in
+    both engines."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), "[ ]+")).alias("token"),
+    )
+    agg = toks.groupBy("token").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-K
+    # + driver merge of K-row heaps) — never a single-task global sort
+    # over the vocabulary; the rank window then runs over K rows only
+    from pyspark.sql import Window
+
+    top = agg.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(VOCAB_K)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "token", "cnt", "df",
+    )
+
+
+def sql_vocab_topk():
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ ]+')) AS token
+  FROM documents
+), agg AS (
+  SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS df
+  FROM toks GROUP BY token
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank,
+       token, cnt, df
+FROM agg QUALIFY rank <= {VOCAB_K}
+"""
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic content-keyed train/val/test assignment (80/10/10):
     bucket = first 32 bits of sha256(text) mod 100, so the split is
@@ -1406,6 +1456,7 @@ def catalog():
         "extract_text": (q_extract_text, sql_extract_text()),
         "decontaminate": (q_decontaminate, sql_decontaminate()),
         "dataset_split": (q_dataset_split, sql_dataset_split()),
+        "vocab_topk": (q_vocab_topk, sql_vocab_topk()),
         "token_count": (q_token_count, sql_token_count()),
         "quality": (q_quality, sql_quality()),
         "repetition": (q_repetition, sql_repetition()),

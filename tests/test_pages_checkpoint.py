@@ -299,3 +299,20 @@ def test_scan_local_ops_have_no_exchange(spark):
         assert "PythonUDF" not in plan and "ArrowEval" not in plan, (
             f"{name} leaves the JVM:\n{plan}"
         )
+
+
+def test_vocab_topk_plan_and_boundary(spark):
+    """vocab_topk must plan the top-K as TakeOrderedAndProject
+    (per-partition K-row heaps + driver merge — never a single-task
+    global sort over the vocabulary), and its K boundary must follow
+    the (cnt desc, token asc) tie-break exactly."""
+    from covertree_spark.queries import q_vocab_topk, VOCAB_K
+
+    df = q_vocab_topk(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = df.collect()
+    assert 0 < len(rows) <= VOCAB_K
+    key = [(-r["cnt"], r["token"]) for r in rows]
+    assert key == sorted(key)
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
