@@ -503,6 +503,45 @@ def sql_pip_table():
     return " UNION ALL ".join(parts)
 
 
+def q_zonal_stats(spark, sf_dir):
+    """ZONAL STATISTICS: per-polygon aggregates of the points (and
+    their document attributes) falling inside each zone — the raster/
+    vector analytics staple the PIP join exists to feed. Runs the
+    polygon-TABLE path (plan size independent of polygon count), then
+    joins the hit pairs back to the documents table on doc_id (an
+    equi-join Catalyst shuffles on the id key — the pairs side is
+    |points in zones|, already reduced) and aggregates per zone.
+    Integer aggregates only, so both engines decide every value
+    exactly. Polygons containing zero points produce no row in either
+    engine (GROUP BY over an empty selection)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    pdf = pip.polygons_table(spark, PIP_ALL_POLYS)
+    pairs = pip.pip_join_table(pts, pdf, convex=False)
+    joined = pairs.join(
+        docs.select("doc_id", "n_chars"), pairs["id"] == F.col("doc_id")
+    )
+    return joined.groupBy("poly_id").agg(
+        F.count("*").alias("n_points"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def sql_zonal_stats():
+    parts = []
+    for pid, poly in enumerate(PIP_ALL_POLYS):
+        pred = sql_concave_predicate(_LON_E, _LAT_E, poly)
+        parts.append(
+            f"SELECT CAST({pid} AS BIGINT) AS poly_id, count(*) AS n_points, "
+            f"CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            f"min(doc_id) AS min_doc, max(doc_id) AS max_doc "
+            f"FROM documents WHERE {pred} GROUP BY 1"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def q_tile_assign(spark, sf_dir):
     pts = src.doc_points_lonlat(spark, sf_dir)
     return tiles.assign_tiles(pts, TILE_Z).select(
@@ -805,6 +844,103 @@ FROM agg QUALIFY rank <= {VOCAB_K}
 """
 
 
+def q_doc_top_term(spark, sf_dir):
+    """Most DISTINCTIVE term per document — the TF-IDF argmax with an
+    integer-exact total order: max term frequency, ties to the RAREST
+    corpus term (min document frequency), then token asc. No float
+    idf ever materializes, so both engines pick the identical term
+    for every document. Plan: one explode -> (doc,token) tf aggregate;
+    df derived FROM the tf table (a token-keyed re-aggregation — no
+    second pass over text); tf-df join shuffles on token (zipfian hot
+    tokens are exactly what AQE skew-join splits); per-doc argmax via
+    min over a sort-key struct — a partial-aggregable reduction, NOT a
+    per-doc window sort."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), "[ ]+")).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "token")
+    # min over (-tf, df, token) == (tf desc, df asc, token asc) argmax;
+    # struct min is commutative/associative -> map-side partials
+    best = scored.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("tf")).alias("neg_tf"),
+                F.col("df").alias("df"),
+                F.col("token").alias("token"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "doc_id",
+        F.col("b.token").alias("top_term"),
+        (-F.col("b.neg_tf")).alias("tf"),
+        F.col("b.df").alias("df"),
+    )
+
+
+def sql_doc_top_term():
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ ]+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+)
+SELECT doc_id, token AS top_term, tf, df
+FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC
+         ) AS rk
+  FROM tf JOIN dfreq USING (token)
+) WHERE rk = 1
+"""
+
+
+LANG_TOP_K = 3
+
+
+def q_lang_top_docs(spark, sf_dir):
+    """Top-K documents per language by length — the generic GROUPED
+    TOP-K, run through the hot-key-safe two-phase plan
+    (operators/topk.py): language keys are few and zipfian, exactly
+    the shape where a naive per-group window serializes on the hottest
+    key. Phase 1 salts each group across 32 sub-windows (WindowGroupLimit
+    keeps k-row heaps per task); phase 2 ranks <= 32*k candidates per
+    group. Identical output to the one-window oracle."""
+    from .operators.topk import grouped_topk
+
+    docs = src.load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    return grouped_topk(
+        docs,
+        ["lang"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=LANG_TOP_K,
+        salt_col="doc_id",
+    ).select("lang", "rank", "doc_id", "n_chars")
+
+
+def sql_lang_top_docs():
+    return f"""
+SELECT lang, CAST(rk AS BIGINT) AS rank, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+         ) AS rk
+  FROM documents
+) WHERE rk <= {LANG_TOP_K}
+"""
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic content-keyed train/val/test assignment (80/10/10):
     bucket = first 32 bits of sha256(text) mod 100, so the split is
@@ -848,6 +984,24 @@ def q_quality(spark, sf_dir):
 
 def sql_quality():
     return tx.sql_quality_components()
+
+
+def q_quantiles(spark, sf_dir):
+    """EXACT corpus deciles of document length (n_chars) by global
+    rank — range-partitioned sort + per-partition prefix offsets, no
+    single-task ORDER BY window anywhere (operators/order_stats.py).
+    The number that decides truncation/padding budgets in a training
+    pipeline, computed exactly at any scale."""
+    from .operators.order_stats import exact_quantiles
+
+    docs = src.load_table(spark, sf_dir, "documents")
+    return exact_quantiles(docs, "n_chars", "doc_id")
+
+
+def sql_quantiles():
+    from .operators.order_stats import sql_exact_quantiles
+
+    return sql_exact_quantiles("n_chars", "doc_id", "documents")
 
 
 # repetition_filter thresholds: top bigram < 1/REP_TOP_MULT of bigrams
@@ -1444,6 +1598,7 @@ def catalog():
             sql_tile_poly_cover_concave(),
         ),
         "pip_table": (q_pip_table, sql_pip_table()),
+        "zonal_stats": (q_zonal_stats, sql_zonal_stats()),
         "tile_poly_cover_table": (
             q_tile_poly_cover_table,
             sql_tile_poly_cover_table(),
@@ -1459,6 +1614,9 @@ def catalog():
         "vocab_topk": (q_vocab_topk, sql_vocab_topk()),
         "token_count": (q_token_count, sql_token_count()),
         "quality": (q_quality, sql_quality()),
+        "quantiles": (q_quantiles, sql_quantiles()),
+        "doc_top_term": (q_doc_top_term, sql_doc_top_term()),
+        "lang_top_docs": (q_lang_top_docs, sql_lang_top_docs()),
         "repetition": (q_repetition, sql_repetition()),
         "repetition_filter": (q_repetition_filter, sql_repetition_filter()),
         "lang_scores": (q_lang_scores, sql_lang_scores()),
