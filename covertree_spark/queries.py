@@ -542,6 +542,18 @@ def sql_zonal_stats():
     return " UNION ALL ".join(parts)
 
 
+def q_geo_hull(spark, sf_dir):
+    """Convex hull of the corpus geometry — associative partial-hull
+    reduce (operators/hull.py), partition-invariant by construction.
+    Rows-only in the driver gate (a hull has no SQL formulation);
+    exactness is pinned by tests/test_hull.py: identical output at 1,
+    7 and 32 partitions and equal to a driver-side monotone chain."""
+    from .operators.hull import convex_hull
+
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    return convex_hull(pts).select("vertex_idx", F.col("id").alias("doc_id"))
+
+
 def q_tile_assign(spark, sf_dir):
     pts = src.doc_points_lonlat(spark, sf_dir)
     return tiles.assign_tiles(pts, TILE_Z).select(
@@ -1634,6 +1646,7 @@ def catalog():
         "events_asof": (q_events_asof, sql_events_asof()),
         "events_top_users": (q_events_top_users, sql_events_top_users()),
         "vecfile_ball_join": (q_vecfile_ball_join, sql_emb_ball_join()),
+        "geo_hull": (q_geo_hull, None),
         "minhash_neardup": (q_minhash_neardup, None),
         "simhash_neardup": (q_simhash_neardup, None),
         "doc_fingerprints": (q_doc_fingerprints, None),
