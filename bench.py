@@ -81,6 +81,11 @@ BENCH_QUERIES = [
     "repetition",
     "events_asof",
     "decontaminate",
+    "doc_top_term",
+    "quantiles",
+    "zonal_stats",
+    "lang_top_docs",
+    "geo_hull",
 ]
 
 
