@@ -117,10 +117,10 @@ def run(argv: list[str] | None = None, spark=None) -> dict:
     if args.method == "bf":
         edges = brute_ball_join(vecs, args.radius)
     else:
-        # centers bound the decomposition like the reference, but the
-        # adaptive floor still guarantees parallel coverage
-        fine_k, coarse_k, sample = adaptive_voronoi_k(n, nprocs)
-        fine_k = min(max(num_centers, 4), max(fine_k, num_centers))
+        # the user's center count rules, like the reference; only the
+        # Gonzalez sample size stays adaptive
+        _fk, coarse_k, sample = adaptive_voronoi_k(n, nprocs)
+        fine_k = max(num_centers, 4)
         fine = voronoi_centers(vecs, k=fine_k, sample_size=sample)
         pts = assign_two_level(vecs, fine, coarse_group_of(fine, coarse_k))
         edges = ball_self_join(

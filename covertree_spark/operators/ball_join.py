@@ -162,4 +162,6 @@ def brute_ball_join(points: DataFrame, radius: float) -> DataFrame:
                 {"src": src[keep], "dst": dst[keep], "dist": np.sqrt(d2[hit][keep])}
             )
 
-    return points.mapInPandas(scan, schema=EDGE_SCHEMA)
+    from ..plans.metrics import counted_stream
+
+    return points.mapInPandas(counted_stream(scan), schema=EDGE_SCHEMA)
