@@ -96,7 +96,10 @@ def convex_hull(
     partials = base.mapInPandas(partial, schema=schema)
 
     def final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cur = pd.concat(list(batches), ignore_index=True)
+        parts = list(batches)
+        if not parts:  # empty input table
+            return
+        cur = pd.concat(parts, ignore_index=True)
         if cur.empty:
             return
         sel = hull_indices(

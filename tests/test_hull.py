@@ -59,3 +59,12 @@ def test_tiny_inputs(spark):
     assert len(_spark_hull(spark, np.array([[1.0, 2.0]]), 3)) == 1
     two = _spark_hull(spark, np.array([[1.0, 2.0], [3.0, 4.0]]), 3)
     assert len(two) == 2
+
+
+def test_empty_input(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0)], schema="id bigint, lon double, lat double"
+    ).filter(F.lit(False))
+    assert convex_hull(df).count() == 0
