@@ -953,6 +953,42 @@ SELECT lang, CAST(rk AS BIGINT) AS rank, doc_id, n_chars FROM (
 """
 
 
+SAMPLE_PER_LANG = 20
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: K documents per language,
+    keyed by content hash — the holdout/eval-set selection a training
+    pipeline re-derives identically across runs, engines, and dedup
+    order (same reasoning as dataset_split: the key is sha256(text),
+    never position or partitioning). Selection = grouped top-k on the
+    hash order, so it runs the hot-key-safe two-phase plan."""
+    from .operators.topk import grouped_topk
+
+    docs = src.load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.sha2(F.col("text"), 256).alias("h")
+    )
+    return grouped_topk(
+        docs,
+        ["lang"],
+        [F.col("h").asc(), F.col("doc_id").asc()],
+        k=SAMPLE_PER_LANG,
+        salt_col="doc_id",
+    ).select("lang", "rank", "doc_id")
+
+
+def sql_stratified_sample():
+    return f"""
+SELECT lang, CAST(rk AS BIGINT) AS rank, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY sha256(text) ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+) WHERE rk <= {SAMPLE_PER_LANG}
+"""
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic content-keyed train/val/test assignment (80/10/10):
     bucket = first 32 bits of sha256(text) mod 100, so the split is
@@ -1629,6 +1665,7 @@ def catalog():
         "quantiles": (q_quantiles, sql_quantiles()),
         "doc_top_term": (q_doc_top_term, sql_doc_top_term()),
         "lang_top_docs": (q_lang_top_docs, sql_lang_top_docs()),
+        "stratified_sample": (q_stratified_sample, sql_stratified_sample()),
         "repetition": (q_repetition, sql_repetition()),
         "repetition_filter": (q_repetition_filter, sql_repetition_filter()),
         "lang_scores": (q_lang_scores, sql_lang_scores()),
