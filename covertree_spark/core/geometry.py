@@ -117,3 +117,63 @@ def gc_to_chord(theta_rad: float) -> float:
 
 def chord_to_gc(chord: float) -> float:
     return 2.0 * float(np.arcsin(min(1.0, chord / 2.0)))
+
+
+# IUGG mean Earth radius. The engine's metric stays the unit-sphere
+# chord (the cover tree is purely Euclidean); kilometre radii convert
+# through gc_to_chord(km / EARTH_RADIUS_KM) at plan time, and reported
+# great-circle distances are recomputed with the haversine formula
+# below — mirrored op-for-op by sql_haversine_km so DuckDB produces
+# bit-identical doubles (both sides run the host libm's sin/cos/asin
+# over bit-identical float64 lon/lats).
+EARTH_RADIUS_KM = 6371.0088
+
+
+def haversine_km(
+    lon1: np.ndarray, lat1: np.ndarray, lon2: np.ndarray, lat2: np.ndarray
+) -> np.ndarray:
+    """Great-circle distance in km, float64 haversine. OP ORDER IS THE
+    ORACLE CONTRACT — any change here must change sql_haversine_km
+    identically."""
+    p1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    p2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    s1 = np.sin((p2 - p1) * 0.5)
+    s2 = np.sin(
+        (
+            np.radians(np.asarray(lon2, dtype=np.float64))
+            - np.radians(np.asarray(lon1, dtype=np.float64))
+        )
+        * 0.5
+    )
+    a = s1 * s1 + (np.cos(p1) * np.cos(p2)) * (s2 * s2)
+    km = EARTH_RADIUS_KM * (2.0 * np.arcsin(np.sqrt(np.minimum(a, 1.0))))
+    # Quantize to METRES with a floor-based half-up: numpy's SIMD
+    # arcsin and DuckDB's libm asin disagree by 1 ulp on ~1% of
+    # inputs (measured), so the raw double is NOT an oracle-safe
+    # output; after metre quantization a mismatch needs the two
+    # values to straddle a 0.0005 km boundary within ~5e-11 km —
+    # probability ~1e-7 per row, and the fixtures are deterministic.
+    return np.floor(km * 1000.0 + 0.5) / 1000.0
+
+
+def sql_haversine_km(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """ANSI-SQL rendering of haversine_km, same op order. ``least(a,1)``
+    guards the same lanes numpy clamps (rounding can push a one ulp
+    over 1 near the antipode); float constants are CAST(... AS DOUBLE)
+    so no engine evaluates in DECIMAL."""
+    half = "CAST(0.5 AS DOUBLE)"
+    p1, p2 = f"radians({lat1})", f"radians({lat2})"
+    s1 = f"sin(({p2} - {p1}) * {half})"
+    s2 = f"sin((radians({lon2}) - radians({lon1})) * {half})"
+    a = f"({s1} * {s1} + (cos({p1}) * cos({p2})) * ({s2} * {s2}))"
+    km = (
+        f"CAST({EARTH_RADIUS_KM!r} AS DOUBLE) * (CAST(2 AS DOUBLE) * "
+        f"asin(sqrt(least({a}, CAST(1 AS DOUBLE)))))"
+    )
+    # same floor-based metre quantization as haversine_km (half-up via
+    # floor, NOT the engines' ROUND — DuckDB rounds half-away, numpy
+    # half-even; floor arithmetic is identical everywhere)
+    return (
+        f"(floor({km} * CAST(1000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) "
+        "/ CAST(1000 AS DOUBLE))"
+    )

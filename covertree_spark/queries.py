@@ -44,6 +44,7 @@ from .sources import vecfiles
 
 # ---- tuned constants (clearance-verified in tests) -------------------------
 GEO_BALL_R = 0.28  # chord radius, unit sphere
+GEO_HAV_R_KM = 1000.0  # geodesic ball radius, kilometres (haversine join)
 GEO_CC_R = 0.10  # components radius: 178 comps, max 128, clearance 1.1e-4 @sf0.01
 EMB_BALL_R = 1.1
 COS_TAU = 0.35
@@ -420,6 +421,56 @@ def sql_geo_ball_join():
         _PTS_CTE
         + " SELECT a.id AS src, b.id AS dst FROM xyz a JOIN xyz b ON a.id <> b.id "
         f"WHERE sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z)) <= {GEO_BALL_R!r}"
+    )
+
+
+def q_geo_haversine_join(spark, sf_dir):
+    """Geodesic epsilon-ball self-join with the radius in KILOMETRES.
+
+    The engine's metric never changes: a great-circle radius is a
+    strictly monotone function of the unit-sphere chord
+    (geometry.gc_to_chord), so the kilometre ball is answered by the
+    SAME cover-tree chord machinery as q_geo_ball_join — no new join
+    plan, no trig in the pruning path. The reported distance is then
+    recomputed per output pair as float64 haversine directly from ids
+    (lon/lat derivation is pure arithmetic — no join back to the
+    points table), mirrored op-for-op by the oracle's
+    sql_haversine_km and metre-quantized in both engines (numpy SIMD
+    arcsin and libm asin differ by 1 ulp on ~1% of inputs)."""
+    import pandas as pd
+
+    pts, stats = _geo_points(spark, sf_dir)
+    chord = geometry.gc_to_chord(GEO_HAV_R_KM / geometry.EARTH_RADIUS_KM)
+    pairs = ball_self_join(pts, chord, d=3, stats=stats).select("src", "dst")
+
+    def finalize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lon1, lat1 = geometry.lonlat_from_id(pdf["src"].to_numpy())
+            lon2, lat2 = geometry.lonlat_from_id(pdf["dst"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "src": pdf["src"],
+                    "dst": pdf["dst"],
+                    "gc_km": geometry.haversine_km(lon1, lat1, lon2, lat2),
+                }
+            )
+
+    return pairs.mapInPandas(
+        finalize, schema="src bigint, dst bigint, gc_km double"
+    )
+
+
+def sql_geo_haversine_join():
+    chord = geometry.gc_to_chord(GEO_HAV_R_KM / geometry.EARTH_RADIUS_KM)
+    hav = geometry.sql_haversine_km("pa.lon", "pa.lat", "pb.lon", "pb.lat")
+    return (
+        _PTS_CTE
+        + f" SELECT a.id AS src, b.id AS dst, {hav} AS gc_km"
+        " FROM xyz a JOIN xyz b ON a.id <> b.id"
+        " JOIN pts pa ON pa.id = a.id JOIN pts pb ON pb.id = b.id"
+        f" WHERE sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z)) <= {chord!r}"
     )
 
 
@@ -853,6 +904,59 @@ WITH toks AS (
 SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank,
        token, cnt, df
 FROM agg QUALIFY rank <= {VOCAB_K}
+"""
+
+
+def q_oov_rate(spark, sf_dir):
+    """Per-document out-of-vocabulary stats vs the corpus top-K
+    vocabulary — the BPE-coverage / quality-filter signal a tokenizer
+    pipeline computes before training (docs with high OOV fractions
+    are noise). Integer contract: (n_tok, n_oov) counts only — the
+    rate is a derived ratio the caller computes, so both engines
+    agree exactly.
+
+    Plan at scale: the vocabulary is top-K of a map-side-combined
+    token aggregate (TakeOrderedAndProject, never a global sort), K
+    rows -> broadcast; the per-doc pass is explode -> broadcast hash
+    join -> partial-aggregable counts. The token explode never
+    shuffles: n_oov = count(*) - count(matched), both plain counts."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), "[ ]+")).alias("token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(VOCAB_K)
+        .select("token")
+    )
+    joined = toks.join(
+        F.broadcast(vocab.withColumnRenamed("token", "vtok")),
+        toks["token"] == F.col("vtok"),
+        "left",
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        (F.count("*") - F.count("vtok")).alias("n_oov"),
+    )
+
+
+def sql_oov_rate():
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ ]+')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS cnt FROM toks GROUP BY token
+  ) ORDER BY cnt DESC, token ASC LIMIT {VOCAB_K}
+)
+SELECT t.doc_id, count(*) AS n_tok,
+       count(*) - count(v.token) AS n_oov
+FROM toks t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id
 """
 
 
@@ -1633,6 +1737,7 @@ def catalog():
         "geo_cell_assign": (q_geo_cell_assign, sql_geo_cell_assign()),
         "geo_cell_histogram": (q_geo_cell_histogram, sql_geo_cell_histogram()),
         "geo_ball_join": (q_geo_ball_join, sql_geo_ball_join()),
+        "geo_haversine_join": (q_geo_haversine_join, sql_geo_haversine_join()),
         "geo_knn": (q_geo_knn, sql_geo_knn()),
         "pip_convex": (q_pip_convex, sql_pip_convex()),
         "pip_concave": (q_pip_concave, sql_pip_concave()),
@@ -1660,6 +1765,7 @@ def catalog():
         "decontaminate": (q_decontaminate, sql_decontaminate()),
         "dataset_split": (q_dataset_split, sql_dataset_split()),
         "vocab_topk": (q_vocab_topk, sql_vocab_topk()),
+        "oov_rate": (q_oov_rate, sql_oov_rate()),
         "token_count": (q_token_count, sql_token_count()),
         "quality": (q_quality, sql_quality()),
         "quantiles": (q_quantiles, sql_quantiles()),
