@@ -648,6 +648,68 @@ def sql_tile_pyramid():
     return " UNION ALL ".join(parts)
 
 
+def q_tile_regions(spark, sf_dir):
+    """RASTER -> VECTOR region labeling (the polygonize step): label
+    the 4-connected regions of OCCUPIED tiles at HIST_Z, region id =
+    min tile id in the region. This is the standard raster->vector
+    bridge GDAL calls polygonize; here the raster is the tile
+    occupancy grid the engine already aggregates (tile_histogram).
+
+    Plan at scale: adjacency needs NO geometry — the east/north
+    neighbor of tile ``ix*n+iy`` is ``tile+n`` / ``tile+1`` (integer
+    shifts with edge-of-grid guards), so candidate edges are a
+    projection of the occupied set and survive only if the neighbor
+    exists (self-equi-join on tile id). Components run the same
+    O(log^2 n)-round large-star/small-star machinery as
+    geo_components — no driver union-find, no diameter-bound
+    label propagation (a coastline region's diameter is huge; its
+    log^2 bound is not)."""
+    from .operators.components import connected_components
+
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    occ = tiles.tile_histogram(pts, HIST_Z).select("tile")
+    n = 1 << HIST_Z
+    east = occ.filter(F.col("tile") < (n - 1) * n).select(
+        F.col("tile").alias("src"), (F.col("tile") + n).alias("dst")
+    )
+    north = occ.filter(F.col("tile") % n < n - 1).select(
+        F.col("tile").alias("src"), (F.col("tile") + 1).alias("dst")
+    )
+    cand = east.unionByName(north)
+    edges = cand.join(occ.withColumnRenamed("tile", "dst"), "dst")
+    comp = connected_components(
+        edges, nodes=occ.select(F.col("tile").alias("id"))
+    )
+    return comp.select(
+        F.col("id").alias("tile"), F.col("component").alias("region")
+    )
+
+
+def sql_tile_regions():
+    t = cellcodec.sql_cell_expr(_LON_E, _LAT_E, HIST_Z)
+    n = 1 << HIST_Z
+    return f"""
+WITH RECURSIVE occ AS (
+  SELECT DISTINCT {t} AS tile FROM documents
+), e AS (
+  SELECT a.tile AS src, b.tile AS dst
+  FROM occ a JOIN occ b ON b.tile = a.tile + {n}
+  WHERE a.tile < {(n - 1) * n}
+  UNION ALL
+  SELECT a.tile, b.tile
+  FROM occ a JOIN occ b ON b.tile = a.tile + 1
+  WHERE a.tile % {n} < {n - 1}
+), sym AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), reach AS (
+  SELECT tile AS node, tile AS label FROM occ
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+)
+SELECT node AS tile, MIN(label) AS region FROM reach GROUP BY node
+"""
+
+
 COVER_Z = 6  # polygon rasterization zoom (64x64 grid)
 
 
@@ -1745,6 +1807,7 @@ def catalog():
         "tile_histogram": (q_tile_histogram, sql_tile_histogram()),
         "tile_window": (q_tile_window, sql_tile_window()),
         "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid()),
+        "tile_regions": (q_tile_regions, sql_tile_regions()),
         "tile_poly_cover": (q_tile_poly_cover, sql_tile_poly_cover()),
         "tile_poly_cover_concave": (
             q_tile_poly_cover_concave,
