@@ -272,3 +272,37 @@ def tile_window(
     return t.filter(
         (tx >= ix0) & (tx <= ix1) & (ty >= iy0) & (ty <= iy1)
     )
+
+
+def tile_regions(occ: DataFrame, zoom: int) -> DataFrame:
+    """RASTER -> VECTOR region labeling (the polygonize step): exact
+    4-connected components over a set of OCCUPIED tiles; returns
+    (tile, region) with region = min tile id in the region.
+
+    ``occ`` is any frame with a ``tile`` column at ``zoom`` (typically
+    the tile histogram). Adjacency needs no geometry: with
+    tile = ix * n + iy, the east neighbor is tile + n and the north
+    neighbor tile + 1 (grid-edge guards keep ids from wrapping), so
+    candidate edges are a projection of the occupied set, kept only
+    when the neighbor is itself occupied (self-equi-join on tile id).
+    Labeling is the O(log^2 n)-round large-star/small-star pass from
+    operators/components.py — no driver union-find, no
+    diameter-bound propagation."""
+    from .components import connected_components
+
+    occ = occ.select("tile")
+    n = 1 << zoom
+    east = occ.filter(F.col("tile") < (n - 1) * n).select(
+        F.col("tile").alias("src"), (F.col("tile") + n).alias("dst")
+    )
+    north = occ.filter(F.col("tile") % n < n - 1).select(
+        F.col("tile").alias("src"), (F.col("tile") + 1).alias("dst")
+    )
+    cand = east.unionByName(north)
+    edges = cand.join(occ.withColumnRenamed("tile", "dst"), "dst")
+    comp = connected_components(
+        edges, nodes=occ.select(F.col("tile").alias("id"))
+    )
+    return comp.select(
+        F.col("id").alias("tile"), F.col("component").alias("region")
+    )

@@ -655,34 +655,13 @@ def q_tile_regions(spark, sf_dir):
     bridge GDAL calls polygonize; here the raster is the tile
     occupancy grid the engine already aggregates (tile_histogram).
 
-    Plan at scale: adjacency needs NO geometry — the east/north
-    neighbor of tile ``ix*n+iy`` is ``tile+n`` / ``tile+1`` (integer
-    shifts with edge-of-grid guards), so candidate edges are a
-    projection of the occupied set and survive only if the neighbor
-    exists (self-equi-join on tile id). Components run the same
-    O(log^2 n)-round large-star/small-star machinery as
-    geo_components — no driver union-find, no diameter-bound
-    label propagation (a coastline region's diameter is huge; its
-    log^2 bound is not)."""
-    from .operators.components import connected_components
-
+    Plan and scale notes: operators/tiles.tile_regions (integer-shift
+    adjacency, occupied-neighbor equi-join, large-star/small-star
+    labeling — no driver union-find, no diameter-bound label
+    propagation; a coastline region's diameter is huge, its log^2
+    round bound is not)."""
     pts = src.doc_points_lonlat(spark, sf_dir)
-    occ = tiles.tile_histogram(pts, HIST_Z).select("tile")
-    n = 1 << HIST_Z
-    east = occ.filter(F.col("tile") < (n - 1) * n).select(
-        F.col("tile").alias("src"), (F.col("tile") + n).alias("dst")
-    )
-    north = occ.filter(F.col("tile") % n < n - 1).select(
-        F.col("tile").alias("src"), (F.col("tile") + 1).alias("dst")
-    )
-    cand = east.unionByName(north)
-    edges = cand.join(occ.withColumnRenamed("tile", "dst"), "dst")
-    comp = connected_components(
-        edges, nodes=occ.select(F.col("tile").alias("id"))
-    )
-    return comp.select(
-        F.col("id").alias("tile"), F.col("component").alias("region")
-    )
+    return tiles.tile_regions(tiles.tile_histogram(pts, HIST_Z), HIST_Z)
 
 
 def sql_tile_regions():

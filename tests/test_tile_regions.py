@@ -1,0 +1,75 @@
+"""tile_regions semantics on a hand-built occupancy grid: 4-connectivity
+(no diagonals), grid-edge guards (no lon/lat wrap merges), min-id
+labels, partition invariance."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from covertree_spark.core import geometry as G
+from covertree_spark.operators.tiles import tile_regions
+
+ZOOM = 2  # n = 4; tile = ix * 4 + iy
+# L-shape {(0,0),(0,1),(1,1)} plus (1,0)=4 (east of (0,0)) -> ONE
+# region labeled 0; diagonal pair (2,2)/(3,3) must NOT merge; (0,3)=3
+# and (1,0)=4 have consecutive ids but sit on opposite grid rows ->
+# the iy guard must keep 3 out of region 0; (3,0)=12 probes the east
+# edge guard (no +n neighbor can exist).
+OCC = [0, 1, 5, 10, 15, 3, 4, 12]
+EXPECTED = {0: 0, 1: 0, 5: 0, 4: 0, 10: 10, 15: 15, 3: 3, 12: 12}
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_tile_regions_semantics(spark, nparts):
+    occ = spark.createDataFrame([(t,) for t in OCC], "tile bigint").repartition(
+        nparts
+    )
+    got = {r["tile"]: r["region"] for r in tile_regions(occ, ZOOM).collect()}
+    assert got == EXPECTED
+
+
+def test_haversine_cross_engine_parity():
+    """numpy haversine_km vs the DuckDB rendering of sql_haversine_km
+    over random pairs: equal after the shared metre quantization (the
+    raw doubles differ by ~1 ulp on some inputs — the quantization is
+    load-bearing, this pins it)."""
+    rng = np.random.default_rng(7)
+    lon1, lon2 = rng.uniform(-180, 180, 200), rng.uniform(-180, 180, 200)
+    lat1, lat2 = rng.uniform(-90, 90, 200), rng.uniform(-90, 90, 200)
+    want = G.haversine_km(lon1, lat1, lon2, lat2)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE p AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({a!r}, {b!r}, {c!r}, {d!r})"
+            for a, b, c, d in zip(lon1, lat1, lon2, lat2)
+        )
+        + ") t(lon1, lat1, lon2, lat2)"
+    )
+    got = np.array(
+        [
+            r[0]
+            for r in con.sql(
+                "SELECT "
+                + G.sql_haversine_km("lon1", "lat1", "lon2", "lat2")
+                + " FROM p"
+            ).fetchall()
+        ]
+    )
+    assert np.array_equal(want, got)
+
+
+def test_haversine_basics():
+    # zero distance to self; symmetric; equator degree ~111.19 km
+    z = G.haversine_km(np.array([10.0]), np.array([20.0]),
+                       np.array([10.0]), np.array([20.0]))
+    assert z[0] == 0.0
+    a = G.haversine_km(np.array([0.0]), np.array([0.0]),
+                       np.array([1.0]), np.array([0.0]))
+    b = G.haversine_km(np.array([1.0]), np.array([0.0]),
+                       np.array([0.0]), np.array([0.0]))
+    assert a[0] == b[0]
+    assert abs(a[0] - 111.195) < 0.01
+    # chord round-trip consistency: gc -> chord -> gc
+    theta = 1234.5 / G.EARTH_RADIUS_KM
+    assert abs(G.chord_to_gc(G.gc_to_chord(theta)) - theta) < 1e-12
