@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "geo_knn",
     "knn_over_index",
     "geo_ball_join",
+    "geo_haversine_join",
     "emb_knn",
     "emb_ball_join",
     "cosine_topk",
@@ -77,11 +78,13 @@ BENCH_QUERIES = [
     "simhash_neardup",
     "tile_histogram",
     "tile_pyramid",
+    "tile_regions",
     "pip_convex",
     "repetition",
     "events_asof",
     "decontaminate",
     "doc_top_term",
+    "oov_rate",
     "quantiles",
     "zonal_stats",
     "lang_top_docs",

@@ -689,6 +689,53 @@ SELECT node AS tile, MIN(label) AS region FROM reach GROUP BY node
 """
 
 
+def q_tile_region_stats(spark, sf_dir):
+    """Vectorized-region aggregates: per 4-connected region, its tile
+    count and total point count — what a pipeline reads off the
+    polygonize output (region area + mass). One histogram scan feeds
+    BOTH the labeling and the mass sum; the final groupBy keys on
+    region (bounded by #tiles, partial-aggregable)."""
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    hist = tiles.tile_histogram(pts, HIST_Z)
+    regions = tiles.tile_regions(hist, HIST_Z)
+    return (
+        regions.join(hist, "tile")
+        .groupBy("region")
+        .agg(F.count("*").alias("n_tiles"), F.sum("cnt").alias("n_points"))
+    )
+
+
+def sql_tile_region_stats():
+    t = cellcodec.sql_cell_expr(_LON_E, _LAT_E, HIST_Z)
+    n = 1 << HIST_Z
+    return f"""
+WITH RECURSIVE hist AS (
+  SELECT {t} AS tile, count(*) AS cnt FROM documents GROUP BY 1
+), occ AS (
+  SELECT tile FROM hist
+), e AS (
+  SELECT a.tile AS src, b.tile AS dst
+  FROM occ a JOIN occ b ON b.tile = a.tile + {n}
+  WHERE a.tile < {(n - 1) * n}
+  UNION ALL
+  SELECT a.tile, b.tile
+  FROM occ a JOIN occ b ON b.tile = a.tile + 1
+  WHERE a.tile % {n} < {n - 1}
+), sym AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), reach AS (
+  SELECT tile AS node, tile AS label FROM occ
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+), regions AS (
+  SELECT node AS tile, MIN(label) AS region FROM reach GROUP BY node
+)
+SELECT r.region, count(*) AS n_tiles, CAST(sum(h.cnt) AS BIGINT) AS n_points
+FROM regions r JOIN hist h ON h.tile = r.tile
+GROUP BY r.region
+"""
+
+
 COVER_Z = 6  # polygon rasterization zoom (64x64 grid)
 
 
@@ -1787,6 +1834,7 @@ def catalog():
         "tile_window": (q_tile_window, sql_tile_window()),
         "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid()),
         "tile_regions": (q_tile_regions, sql_tile_regions()),
+        "tile_region_stats": (q_tile_region_stats, sql_tile_region_stats()),
         "tile_poly_cover": (q_tile_poly_cover, sql_tile_poly_cover()),
         "tile_poly_cover_concave": (
             q_tile_poly_cover_concave,
