@@ -59,6 +59,29 @@ def test_haversine_cross_engine_parity():
     assert np.array_equal(want, got)
 
 
+def test_haversine_chord_threshold_clearance():
+    """Boundary discipline for GEO_HAV_R_KM at the driver-gated sf:
+    no true chord distance sits within 1e-9 of the converted radius,
+    so GEMM-vs-difference-form summation order cannot flip the
+    predicate between engines."""
+    import pyarrow.parquet as pq
+
+    from covertree_spark.queries import GEO_HAV_R_KM
+
+    ids = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy()
+    lon, lat = G.lonlat_from_id(ids)
+    X = G.lonlat_to_xyz(lon, lat).astype(np.float32).astype(np.float64)
+    chord = G.gc_to_chord(GEO_HAV_R_KM / G.EARTH_RADIUS_KM)
+    d2 = (
+        (X * X).sum(1)[:, None] + (X * X).sum(1)[None, :] - 2.0 * (X @ X.T)
+    )
+    np.fill_diagonal(d2, np.inf)
+    gap = np.abs(np.sqrt(np.maximum(d2, 0.0)) - chord).min()
+    assert gap > 1e-9, f"chord distance within {gap} of radius {chord}"
+
+
 def test_haversine_basics():
     # zero distance to self; symmetric; equator degree ~111.19 km
     z = G.haversine_km(np.array([10.0]), np.array([20.0]),
