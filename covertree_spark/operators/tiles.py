@@ -274,7 +274,45 @@ def tile_window(
     )
 
 
-def tile_regions(occ: DataFrame, zoom: int) -> DataFrame:
+SMALL_REGIONS_TILES = 1 << 18  # one-task union-find below this
+
+
+def _regions_kernel(tiles, zoom: int):
+    """Exact 4-connected labeling of one occupied-tile block: sorted
+    ids + searchsorted neighbor lookup (no geometry), union-find with
+    min-index root linking, so region = t[root] = min tile id in the
+    region. O(m α(m)); the caller bounds m."""
+    import numpy as np
+
+    t = np.sort(np.asarray(tiles, dtype=np.int64))
+    m = len(t)
+    n = 1 << zoom
+    parent = np.arange(m, dtype=np.int64)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]  # path halving
+            i = parent[i]
+        return i
+
+    for delta, guard in ((n, t < (n - 1) * n), (1, t % n < n - 1)):
+        cand = t + delta
+        pos = np.searchsorted(t, cand)
+        pos_c = np.minimum(pos, m - 1)
+        ok = guard & (pos < m) & (t[pos_c] == cand)
+        for i, j in zip(np.nonzero(ok)[0], pos_c[ok]):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                # smaller root index stays root -> root is the min
+                # index (= min tile, t is sorted) of its component
+                parent[max(ri, rj)] = min(ri, rj)
+    region = t[np.fromiter((find(i) for i in range(m)), np.int64, m)]
+    return t, region
+
+
+def tile_regions(
+    occ: DataFrame, zoom: int, small_cutoff: int = SMALL_REGIONS_TILES
+) -> DataFrame:
     """RASTER -> VECTOR region labeling (the polygonize step): exact
     4-connected components over a set of OCCUPIED tiles; returns
     (tile, region) with region = min tile id in the region.
@@ -282,16 +320,44 @@ def tile_regions(occ: DataFrame, zoom: int) -> DataFrame:
     ``occ`` is any frame with a ``tile`` column at ``zoom`` (typically
     the tile histogram). Adjacency needs no geometry: with
     tile = ix * n + iy, the east neighbor is tile + n and the north
-    neighbor tile + 1 (grid-edge guards keep ids from wrapping), so
-    candidate edges are a projection of the occupied set, kept only
-    when the neighbor is itself occupied (self-equi-join on tile id).
-    Labeling is the O(log^2 n)-round large-star/small-star pass from
-    operators/components.py — no driver union-find, no
-    diameter-bound propagation."""
-    from .components import connected_components
+    neighbor tile + 1 (grid-edge guards keep ids from wrapping).
+
+    DATA-ADAPTIVE plan (same discipline as knn's merge modes): the
+    occupancy grid is an AGGREGATE bounded by 4^zoom — usually tiny
+    next to the points table — so below ``small_cutoff`` tiles the
+    labeling runs as ONE bounded union-find task (_regions_kernel,
+    ~2 MB per 256k tiles); above it, candidate edges (projection of
+    the occupied set, kept when the neighbor is occupied — a
+    self-equi-join on tile id) feed the O(log^2 n)-round
+    large-star/small-star pass from operators/components.py — no
+    driver union-find, no diameter-bound propagation. The distributed
+    path pays ~1 fixed-latency shuffle round per star iteration,
+    which dwarfs a small grid's actual work (measured 5.5s vs 0.3s at
+    4k tiles); the cutoff picks the right regime from the already-
+    aggregated count."""
+    import pandas as pd
 
     occ = occ.select("tile")
     n = 1 << zoom
+    if occ.count() <= small_cutoff:
+        zoom_ = zoom
+
+        def run(batches):
+            blocks = [pdf["tile"].to_numpy() for pdf in batches]
+            import numpy as np
+
+            tiles = (
+                np.concatenate(blocks) if blocks else np.empty(0, np.int64)
+            )
+            t, region = _regions_kernel(tiles, zoom_)
+            yield pd.DataFrame({"tile": t, "region": region})
+
+        return occ.coalesce(1).mapInPandas(
+            run, schema="tile bigint, region bigint"
+        )
+
+    from .components import connected_components
+
     east = occ.filter(F.col("tile") < (n - 1) * n).select(
         F.col("tile").alias("src"), (F.col("tile") + n).alias("dst")
     )

@@ -20,11 +20,15 @@ EXPECTED = {0: 0, 1: 0, 5: 0, 4: 0, 10: 10, 15: 15, 3: 3, 12: 12}
 
 
 @pytest.mark.parametrize("nparts", [1, 7])
-def test_tile_regions_semantics(spark, nparts):
+@pytest.mark.parametrize("cutoff", [1 << 18, 0])  # one-task kernel / distributed star
+def test_tile_regions_semantics(spark, nparts, cutoff):
     occ = spark.createDataFrame([(t,) for t in OCC], "tile bigint").repartition(
         nparts
     )
-    got = {r["tile"]: r["region"] for r in tile_regions(occ, ZOOM).collect()}
+    got = {
+        r["tile"]: r["region"]
+        for r in tile_regions(occ, ZOOM, small_cutoff=cutoff).collect()
+    }
     assert got == EXPECTED
 
 
