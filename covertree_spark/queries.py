@@ -660,8 +660,13 @@ def q_tile_regions(spark, sf_dir):
     labeling — no driver union-find, no diameter-bound label
     propagation; a coastline region's diameter is huge, its log^2
     round bound is not)."""
+    from .plans.session import mark_releasable
+
     pts = src.doc_points_lonlat(spark, sf_dir)
-    return tiles.tile_regions(tiles.tile_histogram(pts, HIST_Z), HIST_Z)
+    # persist the (tiny, aggregated) histogram: the adaptive path reads
+    # it twice (count + labeling) — one scan of points, not two
+    hist = mark_releasable(tiles.tile_histogram(pts, HIST_Z).persist())
+    return tiles.tile_regions(hist, HIST_Z)
 
 
 def sql_tile_regions():
@@ -695,8 +700,12 @@ def q_tile_region_stats(spark, sf_dir):
     polygonize output (region area + mass). One histogram scan feeds
     BOTH the labeling and the mass sum; the final groupBy keys on
     region (bounded by #tiles, partial-aggregable)."""
+    from .plans.session import mark_releasable
+
     pts = src.doc_points_lonlat(spark, sf_dir)
-    hist = tiles.tile_histogram(pts, HIST_Z)
+    # one points scan: the histogram feeds the count, the labeling,
+    # AND the mass join below
+    hist = mark_releasable(tiles.tile_histogram(pts, HIST_Z).persist())
     regions = tiles.tile_regions(hist, HIST_Z)
     return (
         regions.join(hist, "tile")
