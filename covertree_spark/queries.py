@@ -489,6 +489,45 @@ def sql_geo_knn(k: int = KNN_K):
     )
 
 
+def q_geo_knn_filtered(spark, sf_dir):
+    """FILTERED exact kNN: k nearest neighbors among the subset
+    satisfying an attribute predicate (lang = 'en') — the
+    filtered-vector-search shape (metadata predicate composed with a
+    spatial/vector query). Correctness subtlety the plan respects:
+    pruning stats MUST be recomputed on the filtered population
+    (knn_self_join does this when stats=None); reusing the full-table
+    stats would assume denser cells than exist and over-prune true
+    neighbors.
+
+    At 100 TB the predicate column belongs IN the persisted layout
+    (a scan-time filter, zero join); this catalog entry demonstrates
+    the compose-with-metadata form: an id-keyed semi-join against the
+    filtered attribute table, then the standard two-phase kNN over
+    the surviving points."""
+    pts, _stats = _geo_points(spark, sf_dir)
+    en = (
+        src.load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("id"))
+    )
+    sub = pts.join(en, "id").select("id", "vec", "cell", "cell_fine")
+    knn = knn_self_join(sub, k=KNN_K, d=3)
+    return knn.select(
+        "src", "dst", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def sql_geo_knn_filtered(k: int = KNN_K):
+    return (
+        f"WITH pts AS (SELECT doc_id AS id, {_LON_E} AS lon, {_LAT_E} AS lat "
+        "FROM documents WHERE lang = 'en'), "
+        f"xyz AS (SELECT id, {_X_E} AS x, {_Y_E} AS y, {_Z_E} AS z FROM pts)"
+        " SELECT a.id AS src, b.id AS dst, CAST(row_number() OVER ("
+        "PARTITION BY a.id ORDER BY sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z)) ASC, b.id ASC"
+        f") AS BIGINT) AS rank FROM xyz a JOIN xyz b ON a.id <> b.id QUALIFY rank <= {k}"
+    )
+
+
 def q_pip_convex(spark, sf_dir):
     pts = src.doc_points_lonlat(spark, sf_dir)
     return pip.pip_join(pts, PIP_POLYS, convex=True).select(
@@ -1836,6 +1875,7 @@ def catalog():
         "geo_ball_join": (q_geo_ball_join, sql_geo_ball_join()),
         "geo_haversine_join": (q_geo_haversine_join, sql_geo_haversine_join()),
         "geo_knn": (q_geo_knn, sql_geo_knn()),
+        "geo_knn_filtered": (q_geo_knn_filtered, sql_geo_knn_filtered()),
         "pip_convex": (q_pip_convex, sql_pip_convex()),
         "pip_concave": (q_pip_concave, sql_pip_concave()),
         "tile_assign": (q_tile_assign, sql_tile_assign()),
