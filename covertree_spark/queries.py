@@ -1843,16 +1843,71 @@ def q_doc_fingerprints(spark, sf_dir):
 
 
 def _ivf_index(spark, sf_dir):
-    """Session-cached IVF index (aligned persisted lists + centers +
-    CALIBRATED nprobe): data-derived nlist ~ sqrt(n), observed-max
+    """Session-cached, WAREHOUSE-COMMITTED IVF index (aligned persisted
+    lists + centers + CALIBRATED nprobe): data-derived nlist ~ sqrt(n),
+    observed-max
     imbalance refinement, probe dial calibrated at build from one
     exact sample pass (similarity.calibrate_nprobe). The build is
     one-time prep; every ivf query cogroups against it with zero
     home-side shuffle."""
     key = _prep_key(spark, sf_dir, "ivf")
     if key not in _PREP_CACHE:
-        embs = src.load_table(spark, sf_dir, "embeddings")
-        _prep_insert(key, similarity.ivf_index(embs))
+        # WAREHOUSE-COMMITTED (parity with the cover-tree index): the
+        # aligned list layout writes bucketed-by-list at rest; centers
+        # and the calibrated probe dial ride in sidecar tables under
+        # the same snapshot. A resuming session pays one aligned read
+        # instead of normalize + Voronoi sampling + assignment + the
+        # calibration's exact sample pass.
+        from .plans.checkpoint import snapshot_id
+
+        wh = _warehouse(spark)
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        snap = snapshot_id(
+            "ivf_points", [], {"sf_dir": sf_dir.rstrip("/"), "v": LAYOUT_V}
+        )
+        names = ("ivf_points", "ivf_centers", "ivf_dial")
+        if all(wh.is_committed(t, snap) for t in names):
+            spec = wh.bucket_spec("ivf_points", snap)
+            pts = _align(
+                wh.read(spark, "ivf_points", snap),
+                bucketed=spec is not None and int(spec["n"]) == nparts,
+            )
+            pts.count()  # pin before any cogroup reads it
+            crows = (
+                wh.read(spark, "ivf_centers", snap).orderBy("list").collect()
+            )
+            centers = np.array([r["vec"] for r in crows], dtype=np.float64)
+            dial = wh.read(spark, "ivf_dial", snap).collect()[0]
+            idx = similarity.IvfIndex(
+                pts, centers, int(dial["nprobe"]), float(dial["recall"])
+            )
+        else:
+            embs = src.load_table(spark, sf_dir, "embeddings")
+            idx = similarity.ivf_index(embs)
+            wh.checkpoint(
+                idx.pts, "ivf_points", snap, bucket=("cell", nparts)
+            )
+            wh.checkpoint(
+                spark.createDataFrame(
+                    [
+                        (int(i), [float(x) for x in c])
+                        for i, c in enumerate(idx.centers)
+                    ],
+                    "list bigint, vec array<double>",
+                ),
+                "ivf_centers",
+                snap,
+            )
+            wh.checkpoint(
+                spark.createDataFrame(
+                    [(int(idx.nprobe), float(idx.recall_est))],
+                    "nprobe int, recall double",
+                ),
+                "ivf_dial",
+                snap,
+            )
+        _prep_insert(key, idx)
+        _PREP_SNAP[key] = snap
     return _PREP_CACHE[key]
 
 

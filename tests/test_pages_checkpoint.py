@@ -316,3 +316,52 @@ def test_vocab_topk_plan_and_boundary(spark):
     key = [(-r["cnt"], r["token"]) for r in rows]
     assert key == sorted(key)
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_ivf_index_warehouse_resume(spark, tmp_path, monkeypatch):
+    """The IVF index is a warehouse snapshot like the cover-tree index:
+    a second session resumes the bucketed list layout, the centers and
+    the calibrated probe dial from disk — no re-normalization, no
+    Voronoi sampling, no calibration pass — and answers identically."""
+    import numpy as np
+
+    from covertree_spark import queries as Q
+    from covertree_spark.operators import similarity
+    from tests.conftest import SF_TINY
+
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(tmp_path / "wh"))
+    key = Q._prep_key(spark, SF_TINY, "ivf")
+    saved = Q._PREP_CACHE.pop(key, None)
+    try:
+        idx1 = Q._ivf_index(spark, SF_TINY)
+        snap = Q._PREP_SNAP[key]
+        wh = Q._warehouse(spark)
+        for t in ("ivf_points", "ivf_centers", "ivf_dial"):
+            assert wh.is_committed(t, snap)
+        man1 = wh.manifest("ivf_points", snap)
+
+        def answers(idx):
+            return sorted(
+                (r["src"], r["dst"])
+                for r in similarity.ivf_topk_over(
+                    idx.pts, idx.centers, k=5, nprobe=idx.nprobe
+                ).collect()
+            )
+
+        a1 = answers(idx1)
+
+        # simulate a fresh session: drop the in-memory cache, rebuild
+        Q._PREP_CACHE.pop(key)
+        idx2 = Q._ivf_index(spark, SF_TINY)
+        # resumed, not re-committed
+        assert (
+            wh.manifest("ivf_points", snap)["committed_at"]
+            == man1["committed_at"]
+        )
+        assert np.array_equal(idx1.centers, idx2.centers)
+        assert idx1.nprobe == idx2.nprobe
+        assert idx1.recall_est == idx2.recall_est
+        assert answers(idx2) == a1
+    finally:
+        if saved is not None:
+            Q._PREP_CACHE[key] = saved
