@@ -475,8 +475,17 @@ def main() -> None:
         "table_vec_mb": round(hi["table_vec_bytes"] / 1e6, 1),
         "knn_cand_mb": round(hi["knn_cand_bytes"] / 1e6, 1),
     }
+    entry["alu_rate32"] = ceil["alu_rate_32proc"]
     if not (0.85 <= ceil_eff <= 1.05):
         entry["note"] = "noisy window: ALU probe itself interfered"
+    elif ceil["alu_rate_32proc"] < 8.0e8:
+        # efficiency alone misses SYMMETRIC interference (both legs
+        # slowed equally): flag by absolute throughput vs the observed
+        # quiet-window rate (~9.5e8 it/s aggregate at 32 procs)
+        entry["note"] = (
+            "noisy window: host throughput depressed "
+            f"(ALU rate32 {ceil['alu_rate_32proc']:.2e} vs ~9.5e8 quiet)"
+        )
     hist.append(entry)
     for nn, (lo_x, hi_x) in zip(sizes[1:], extra):
         hist.append({
@@ -566,6 +575,20 @@ by quiet-window invocations rather than deleted.
             "queries near a cell boundary), not table size: the home "
             "side contributes ZERO bytes per query at any n."
         )
+        e0, e1 = svols[0].get("knn_raw_eff"), svols[-1].get("knn_raw_eff")
+        if e0 and e1 and e1 > e0:
+            growth_note += (
+                f"\n\nRaw kNN efficiency RISES with size ({e0:.3f} at "
+                f"{svols[0]['n_points']:,} -> {e1:.3f} at "
+                f"{svols[-1]['n_points']:,} in the same session/window): "
+                "per-task fixed costs (python worker dispatch, Arrow "
+                "batch setup, scheduler latency) amortize as tasks "
+                "carry more work, and host-tenant interference averages "
+                "out over longer phases. This is the direction that "
+                "matters for the north_rule: production cells at 10^12 "
+                "rows are far past the fixed-cost regime these small "
+                "local runs sit in."
+            )
     else:
         growth_note = ""
     shuffle_md = f"""
