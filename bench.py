@@ -65,6 +65,7 @@ PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 BENCH_QUERIES = [
     "geo_knn",
+    "geo_knn_filtered",
     "knn_over_index",
     "geo_ball_join",
     "geo_haversine_join",
