@@ -784,6 +784,64 @@ GROUP BY r.region
 """
 
 
+def q_tile_region_bounds(spark, sf_dir):
+    """Region -> vector geometry: each 4-connected region's tile-index
+    bounding box (ix/iy min/max at HIST_Z) — the geometry read-off
+    completing the polygonize pipeline (label -> aggregate -> shape).
+    All integer arithmetic: ix = floor(tile / n), iy = tile % n, then
+    min/max per region (partial-aggregable)."""
+    from .plans.session import mark_releasable
+
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    hist = mark_releasable(tiles.tile_histogram(pts, HIST_Z).persist())
+    regions = tiles.tile_regions(hist, HIST_Z)
+    n = 1 << HIST_Z
+    ix = F.floor(F.col("tile") / n).cast("bigint")
+    iy = (F.col("tile") % n).cast("bigint")
+    return (
+        regions.select("region", ix.alias("ix"), iy.alias("iy"))
+        .groupBy("region")
+        .agg(
+            F.min("ix").alias("ix0"),
+            F.max("ix").alias("ix1"),
+            F.min("iy").alias("iy0"),
+            F.max("iy").alias("iy1"),
+        )
+    )
+
+
+def sql_tile_region_bounds():
+    t = cellcodec.sql_cell_expr(_LON_E, _LAT_E, HIST_Z)
+    n = 1 << HIST_Z
+    return f"""
+WITH RECURSIVE occ AS (
+  SELECT DISTINCT {t} AS tile FROM documents
+), e AS (
+  SELECT a.tile AS src, b.tile AS dst
+  FROM occ a JOIN occ b ON b.tile = a.tile + {n}
+  WHERE a.tile < {(n - 1) * n}
+  UNION ALL
+  SELECT a.tile, b.tile
+  FROM occ a JOIN occ b ON b.tile = a.tile + 1
+  WHERE a.tile % {n} < {n - 1}
+), sym AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), reach AS (
+  SELECT tile AS node, tile AS label FROM occ
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+), regions AS (
+  SELECT node AS tile, MIN(label) AS region FROM reach GROUP BY node
+)
+SELECT region,
+       CAST(min(floor(tile / {n})) AS BIGINT) AS ix0,
+       CAST(max(floor(tile / {n})) AS BIGINT) AS ix1,
+       CAST(min(tile % {n}) AS BIGINT) AS iy0,
+       CAST(max(tile % {n}) AS BIGINT) AS iy1
+FROM regions GROUP BY region
+"""
+
+
 COVER_Z = 6  # polygon rasterization zoom (64x64 grid)
 
 
@@ -1939,6 +1997,7 @@ def catalog():
         "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid()),
         "tile_regions": (q_tile_regions, sql_tile_regions()),
         "tile_region_stats": (q_tile_region_stats, sql_tile_region_stats()),
+        "tile_region_bounds": (q_tile_region_bounds, sql_tile_region_bounds()),
         "tile_poly_cover": (q_tile_poly_cover, sql_tile_poly_cover()),
         "tile_poly_cover_concave": (
             q_tile_poly_cover_concave,
