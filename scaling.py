@@ -58,6 +58,11 @@ import pyspark.sql.functions as F
 cpus = {cpus}
 n = {n}
 d = 32
+# min-of-3 per phase at the sizes where a rep is minutes; min-of-2 at
+# 30M+ where one kNN rep at local[8] runs ~20 minutes — the alternating
+# lo/hi structure (not rep count) is what carries the noise filtering
+# at those sizes
+reps = 3 if n <= 12_000_000 else 2
 # decomposition: cells >> 4N cores so BOTH levels have many waves of
 # tasks (a cell count near the core count caps speedup at the biggest
 # cell — the round-1 probe failed exactly this way at 16 cells)
@@ -113,7 +118,7 @@ pts_build.count()
 # write scales with N. Construction is the compute being scaled.
 t_build = float("inf")
 t_persist = float("inf")
-for rep in range(3):
+for rep in range(reps):
     t0 = time.time()
     trees = build_trees(pts_build, d=d, strategy="aligned")
     trees.count()
@@ -135,7 +140,7 @@ t_knn = float("inf")
 cksum = None
 knn_cand_bytes = 0
 knn_udf_wall = 0.0
-for rep in range(3):
+for rep in range(reps):
     meters = M.install(spark) if rep == 0 else None
     t0 = time.time()
     knn = knn_self_join(pts_knn, k=10, d=d, brute_cutoff=8192)
@@ -160,8 +165,11 @@ def run_level(cpus: int, n: int, pages_path: str, out: str) -> dict:
     env = hostmem.child_env()
     env.update(OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
                MKL_NUM_THREADS="1")
+    # one kNN rep at local[8] is ~0.04ms/point (measured 375s at 10M);
+    # budget generously for data gen + ingest on first touch of a size
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, env=env, timeout=3600)
+                       text=True, env=env,
+                       timeout=max(3600, int(n * 3.5e-4)))
     if r.returncode != 0:
         sys.stderr.write(r.stderr[-4000:])
         raise RuntimeError(f"level {cpus} failed")
