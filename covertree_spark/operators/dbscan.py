@@ -1,0 +1,117 @@
+"""Exact DBSCAN over the epsilon-graph — density-based clustering,
+the standard upgrade of the single-linkage components the reference's
+CSR graphs feed (/root/reference/include/dist_graph.h:20-26; its
+``connected_components`` consumer is operators/components.py).
+
+Semantics (Ester et al., KDD'96, exact — no sampling, no grid
+approximation):
+
+  core(p)    <=>  |{q : dist(p,q) <= eps}| >= min_pts   (q = p counts,
+                  matching the original paper's N_eps(p) and sklearn)
+  clusters   =    connected components of the CORE points under
+                  eps-adjacency; label = MIN core id in the cluster
+                  (deterministic, no tie-break)
+  border(p)  =    non-core point with >= 1 core neighbor; assigned the
+                  MIN cluster label among its core neighbors
+                  (deterministic — sklearn's "first core that claims
+                  it" is scan-order-dependent; min is order-free)
+  noise      =    everything else, cluster = -1
+
+Output: (id bigint, role bigint, cluster bigint), role 2=core,
+1=border, 0=noise — integer-only columns per the repo's exactness
+discipline; the only float threshold is eps, which inherits the
+epsilon-graph's verified clearance.
+
+Physical plan (Spark-first): the epsilon-graph is the engine's
+cogroup-aligned ``ball_self_join`` (candidates-only shuffle, home
+Exchange elided); everything after it is key-partitioned integer
+relational algebra — a degree aggregate, two semi/anti joins against
+the core set, the O(log^2 n) large-star/small-star components, and a
+min-aggregate for borders. No broadcast of anything data-sized, no
+driver collect, no Python UDF: at 10^12 rows every stage is a
+hash-partitioned shuffle on a bigint id, and the dominant cost is the
+epsilon-graph itself (O(fringe) candidate bytes, see ball_join.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ball_join import ball_self_join
+from .components import connected_components
+from .partition import CellStats
+
+ROLE_NOISE, ROLE_BORDER, ROLE_CORE = 0, 1, 2
+
+
+def dbscan_labels(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    d: int,
+    stats: CellStats | None = None,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Exact DBSCAN labels for ``points`` (id, vec, cell).
+
+    ``edges``: pass a precomputed symmetric epsilon-graph
+    (src, dst, src != dst, both directions) to reuse one ball join
+    across consumers; otherwise it is computed here at ``eps``.
+
+    Returns (id, role, cluster) — see module docstring. Every point
+    of the input appears exactly once.
+    """
+    if edges is None:
+        edges = ball_self_join(points, eps, d=d, stats=stats)
+    e = edges.select("src", "dst")
+    ids = points.select(F.col("id").cast("bigint").alias("id"))
+
+    # |N_eps(p)| >= min_pts, self included: isolated points have no
+    # edge rows, so degree comes from a left join against the graph
+    deg = e.groupBy(F.col("src").alias("id")).agg(
+        (F.count("*") + F.lit(1)).alias("n_eps")
+    )
+    core = (
+        ids.join(deg, "id", "left")
+        .where(F.coalesce("n_eps", F.lit(1)) >= int(min_pts))
+        .select("id")
+    )
+
+    # clusters: components of the core-core subgraph (cores with no
+    # core neighbor still cluster — as singletons — via nodes=core)
+    ce = (
+        e.join(core.withColumnRenamed("id", "src"), "src", "semi")
+        .join(core.withColumnRenamed("id", "dst"), "dst", "semi")
+        .select("src", "dst")
+    )
+    comp = connected_components(ce, nodes=core).select(
+        "id", F.col("component").alias("cluster")
+    )
+
+    # borders: non-core, >= 1 core neighbor; min core-cluster wins
+    border = (
+        e.join(core.withColumnRenamed("id", "src"), "src", "anti")
+        .join(
+            comp.select(
+                F.col("id").alias("dst"), F.col("cluster").alias("_c")
+            ),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.min("_c").alias("cluster"))
+    )
+
+    labeled = comp.select(
+        "id", F.lit(ROLE_CORE).cast("bigint").alias("role"), "cluster"
+    ).unionByName(
+        border.select(
+            "id", F.lit(ROLE_BORDER).cast("bigint").alias("role"), "cluster"
+        )
+    )
+    noise = ids.join(labeled.select("id"), "id", "anti").select(
+        "id",
+        F.lit(ROLE_NOISE).cast("bigint").alias("role"),
+        F.lit(-1).cast("bigint").alias("cluster"),
+    )
+    return labeled.unionByName(noise)

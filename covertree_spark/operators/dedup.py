@@ -174,6 +174,73 @@ WHERE 100 * inter >= {min_jaccard_pct} * (sa.sz + sb.sz - inter)
 """
 
 
+def neardup_groups(
+    docs: DataFrame,
+    n: int = 3,
+    min_jaccard_pct: int = 50,
+    max_df: int | None = None,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS + canonical-document selection — the
+    step a training-data pipeline actually runs on the pair output:
+    connected components of the exact-Jaccard near-dup graph
+    (``ngram_jaccard_pairs``), one row per document:
+
+      (doc_id, group_id, is_keeper)
+
+    group_id = MIN doc_id in the near-dup cluster (singletons are
+    their own group), is_keeper = 1 iff this doc is the cluster
+    minimum — the deterministic "keep one representative per cluster"
+    rule (same keeper convention as ``exact_dedup_groups``). Integer
+    columns only.
+
+    ``pairs``: pass a precomputed (a, b, ...) pair frame (e.g. the
+    verified output of the MinHash path) to cluster it instead of
+    recomputing the exact pairs.
+
+    Scale: the pair graph is near-dup-sparse by construction (the
+    max_df cut bounds per-shingle fan-out); components run in
+    O(log^2 n) key-partitioned rounds (operators/components.py) — no
+    driver state, no broadcast of anything data-sized.
+    """
+    from .components import connected_components
+
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(
+            docs, n=n, min_jaccard_pct=min_jaccard_pct, max_df=max_df
+        )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    comp = connected_components(edges, nodes=nodes)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("group_id"),
+        (F.col("id") == F.col("component")).cast("bigint").alias("is_keeper"),
+    )
+
+
+def sql_neardup_groups(
+    n: int = 3, min_jaccard_pct: int = 50, table: str = "documents",
+    max_df: int | None = None,
+) -> str:
+    """DuckDB oracle: the exact pair query as a subselect, symmetrized,
+    then transitive closure by recursive CTE seeded with EVERY doc
+    (singletons label themselves)."""
+    inner = sql_ngram_jaccard_pairs(
+        n=n, min_jaccard_pct=min_jaccard_pct, table=table, max_df=max_df
+    )
+    return (
+        f"WITH RECURSIVE pr AS (SELECT a, b FROM ({inner}) _p), "
+        "e AS (SELECT a AS src, b AS dst FROM pr "
+        "UNION ALL SELECT b AS src, a AS dst FROM pr), "
+        f"reach AS (SELECT doc_id AS node, doc_id AS label FROM {table} "
+        "UNION SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node) "
+        "SELECT node AS doc_id, MIN(label) AS group_id, "
+        "CAST(CASE WHEN node = MIN(label) THEN 1 ELSE 0 END AS BIGINT) AS is_keeper "
+        "FROM reach GROUP BY node"
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,

@@ -1422,6 +1422,68 @@ def sql_ngram_jaccard():
     )
 
 
+def q_neardup_groups(spark, sf_dir):
+    """Near-dup CLUSTERS + canonical keeper per cluster — connected
+    components over the exact-Jaccard pair graph (the step that turns
+    pair output into a deduplicated corpus; operators/dedup.py
+    neardup_groups). Same shingle rule and df-cut as ngram_jaccard."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return dedup.neardup_groups(
+        docs, n=3, min_jaccard_pct=JACCARD_PCT, max_df=NGRAM_MAX_DF
+    )
+
+
+def sql_neardup_groups():
+    return dedup.sql_neardup_groups(
+        n=3, min_jaccard_pct=JACCARD_PCT, max_df=NGRAM_MAX_DF
+    )
+
+
+def q_knn_classify(spark, sf_dir):
+    """kNN label propagation: each vector's label predicted as the
+    MAJORITY vote of its k exact nearest neighbors' labels (tie-break:
+    smaller label) — the label-densification / weak-supervision step a
+    training pipeline runs over an embedding column. Composes the
+    partitioned exact kNN with one key-partitioned equi-join and a
+    bounded window (<= k rows per key — no hot-key risk by
+    construction)."""
+    from pyspark.sql import Window
+
+    pts, stats = _emb_points(spark, sf_dir)
+    knn = knn_self_join(pts, k=KNN_K, d=EMB_D, stats=stats)
+    labels = src.load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("dst"), "label"
+    )
+    votes = (
+        knn.join(labels, "dst")
+        .groupBy("src", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("label").cast("bigint").alias("predicted"),
+        )
+    )
+
+
+def sql_knn_classify():
+    inner = sql_emb_knn(KNN_K)
+    return (
+        f"WITH knn AS ({inner}), "
+        "votes AS (SELECT knn.src, e.label, count(*) AS c "
+        "FROM knn JOIN embeddings e ON e.vec_id = knn.dst "
+        "GROUP BY knn.src, e.label) "
+        "SELECT src AS vec_id, CAST(label AS BIGINT) AS predicted FROM votes "
+        "QUALIFY row_number() OVER (PARTITION BY src ORDER BY c DESC, label ASC) = 1"
+    )
+
+
 def q_knn_join_meta(spark, sf_dir):
     """Equi-join of the spatial result back to the dimension table —
     the engine's incidental relational layer (SURVEY §2.3)."""
@@ -1485,6 +1547,53 @@ def sql_geo_components():
         "reach AS (SELECT id AS node, id AS label FROM xyz "
         "UNION SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node) "
         "SELECT node AS id, MIN(label) AS component FROM reach GROUP BY node"
+    )
+
+
+DBSCAN_MIN_PTS = 4  # at sf0.01/GEO_CC_R: 131 core, 21 border, 348 noise, 7 clusters
+
+
+def q_geo_dbscan(spark, sf_dir):
+    """Exact DBSCAN (eps=GEO_CC_R, min_pts=DBSCAN_MIN_PTS) over the
+    geo points — density-based clustering of the reference's
+    epsilon-graph output (operators/dbscan.py). eps reuses GEO_CC_R's
+    verified clearance; min_pts thresholds an integer degree, so every
+    role/cluster decision is integer-exact in both engines."""
+    from .operators.dbscan import dbscan_labels
+
+    pts, stats = _geo_points(spark, sf_dir)
+    return dbscan_labels(
+        pts, GEO_CC_R, DBSCAN_MIN_PTS, d=3, stats=stats
+    ).select("id", "role", "cluster")
+
+
+def sql_geo_dbscan():
+    """DuckDB oracle: the KDD'96 definitions verbatim — degree count
+    (self included), core filter, recursive closure over core-core
+    edges for clusters (label = min core id), min-core-cluster for
+    borders, -1 for noise."""
+    cte = _PTS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        cte
+        + ", e AS (SELECT a.id AS src, b.id AS dst FROM xyz a JOIN xyz b ON a.id <> b.id "
+        "WHERE sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z)) "
+        f"<= {GEO_CC_R!r}), "
+        "deg AS (SELECT src AS id, count(*) + 1 AS n_eps FROM e GROUP BY src), "
+        "core AS (SELECT x.id FROM xyz x LEFT JOIN deg USING (id) "
+        f"WHERE coalesce(deg.n_eps, 1) >= {DBSCAN_MIN_PTS}), "
+        "ce AS (SELECT e.src, e.dst FROM e WHERE e.src IN (SELECT id FROM core) "
+        "AND e.dst IN (SELECT id FROM core)), "
+        "reach AS (SELECT id AS node, id AS label FROM core "
+        "UNION SELECT ce.dst, r.label FROM reach r JOIN ce ON ce.src = r.node), "
+        "comp AS (SELECT node AS id, MIN(label) AS cluster FROM reach GROUP BY node), "
+        "border AS (SELECT e.src AS id, CAST(1 AS BIGINT) AS role, MIN(c.cluster) AS cluster "
+        "FROM e JOIN comp c ON c.id = e.dst "
+        "WHERE e.src NOT IN (SELECT id FROM core) GROUP BY e.src) "
+        "SELECT id, CAST(2 AS BIGINT) AS role, cluster FROM comp "
+        "UNION ALL SELECT id, role, cluster FROM border "
+        "UNION ALL SELECT x.id, CAST(0 AS BIGINT) AS role, CAST(-1 AS BIGINT) AS cluster "
+        "FROM xyz x WHERE x.id NOT IN (SELECT id FROM comp) "
+        "AND x.id NOT IN (SELECT id FROM border)"
     )
 
 
@@ -2029,11 +2138,14 @@ def catalog():
         "repetition_filter": (q_repetition_filter, sql_repetition_filter()),
         "lang_scores": (q_lang_scores, sql_lang_scores()),
         "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard()),
+        "neardup_groups": (q_neardup_groups, sql_neardup_groups()),
+        "knn_classify": (q_knn_classify, sql_knn_classify()),
         "knn_join_meta": (q_knn_join_meta, sql_knn_join_meta()),
         "knn_over_index": (q_knn_over_index, sql_geo_knn()),
         "knn_upsert_chain": (q_knn_upsert_chain, sql_geo_knn()),
         "geo_degree_hist": (q_geo_degree_hist, sql_geo_degree_hist()),
         "geo_components": (q_geo_components, sql_geo_components()),
+        "geo_dbscan": (q_geo_dbscan, sql_geo_dbscan()),
         "events_rollup": (q_events_rollup, sql_events_rollup()),
         "events_sessionize": (q_events_sessionize, sql_events_sessionize()),
         "dedup_keep": (q_dedup_keep, sql_dedup_keep()),
