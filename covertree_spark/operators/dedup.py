@@ -65,6 +65,26 @@ def exact_dedup_keep(docs: DataFrame) -> DataFrame:
     )
 
 
+def normalized_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Normalization-invariant exact dedup: case-fold + collapse runs
+    of whitespace + trim BEFORE hashing, so near-identical crawls of
+    the same page (casing / formatting deltas only) collapse into one
+    group — the standard first pass of a web-dedup pipeline (cheaper
+    than any similarity join, catches the bulk of crawl dups).
+    Same plan shape and keeper rule as ``exact_dedup_groups``: one
+    hash-aggregate on the 256-bit hash of the normalized text, 32-byte
+    shuffle keys, map-side partials."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.groupBy(F.sha2(norm, 256).alias("_h"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .select("keeper_id", "dup_count")
+    )
+
+
 def tokens_df(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.split(F.trim(F.col("text")), "[ ]+").alias("toks")

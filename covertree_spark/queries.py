@@ -489,6 +489,70 @@ def sql_geo_knn(k: int = KNN_K):
     )
 
 
+def q_geo_rknn(spark, sf_dir):
+    """REVERSE kNN influence counts: for every point, how many other
+    points have it among their k nearest — the classic RkNN "influence
+    set" cardinality (hub detection / coverage analysis). Derived
+    entirely from the verified exact-kNN output: a dst-keyed count
+    aggregate plus a left join against the id universe so isolated
+    points report 0. Both stages are plain hash aggregates/joins on a
+    bigint key — nothing new shuffles beyond the kNN itself, and the
+    tie-break discipline (dist, dst) that makes geo_knn oracle-exact
+    makes every influence count integer-exact too."""
+    pts, stats = _geo_points(spark, sf_dir)
+    knn = knn_self_join(pts, k=KNN_K, d=3, stats=stats)
+    cnt = knn.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("_c")
+    )
+    return (
+        pts.select("id")
+        .join(cnt, "id", "left")
+        .select(
+            "id", F.coalesce("_c", F.lit(0)).cast("bigint").alias("rknn")
+        )
+    )
+
+
+def sql_geo_rknn():
+    return (
+        f"WITH knn AS ({sql_geo_knn()}) "
+        "SELECT d.doc_id AS id, CAST(coalesce(c.cnt, 0) AS BIGINT) AS rknn "
+        "FROM documents d LEFT JOIN "
+        "(SELECT dst, count(*) AS cnt FROM knn GROUP BY dst) c "
+        "ON c.dst = d.doc_id"
+    )
+
+
+def q_geo_closest_pair(spark, sf_dir):
+    """Global CLOSEST PAIR — the classic computational-geometry
+    reduction, answered without any all-pairs stage: the closest pair
+    is necessarily a mutual rank-1 edge of the exact 1-NN graph, so
+    the plan is the two-phase kNN at k=1 followed by a single
+    commutative struct-min reduce (map-side partials, one row crosses
+    the wire per partition). Ties broken by (a, b) id order; output is
+    integer ids only. At 10^12 rows this is the same cost as one kNN
+    pass — the oracle's O(n^2) scan is the definition, not the plan."""
+    pts, stats = _geo_points(spark, sf_dir)
+    nn1 = knn_self_join(pts, k=1, d=3, stats=stats)
+    pairs = nn1.select(
+        F.col("dist"),
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+    )
+    m = pairs.agg(F.min(F.struct("dist", "a", "b")).alias("m"))
+    return m.select(F.col("m.a").alias("a"), F.col("m.b").alias("b"))
+
+
+def sql_geo_closest_pair():
+    return (
+        _PTS_CTE
+        + " SELECT a, b FROM (SELECT least(a.id, b.id) AS a, greatest(a.id, b.id) AS b, "
+        "sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z)) AS dist "
+        "FROM xyz a JOIN xyz b ON a.id < b.id) "
+        "ORDER BY dist ASC, a ASC, b ASC LIMIT 1"
+    )
+
+
 def q_geo_knn_filtered(spark, sf_dir):
     """FILTERED exact kNN: k nearest neighbors among the subset
     satisfying an attribute predicate (lang = 'en') — the
@@ -992,6 +1056,73 @@ def sql_dedup_exact():
         "SELECT min(doc_id) AS keeper_id, count(*) AS dup_count "
         "FROM documents GROUP BY text"
     )
+
+
+def q_dedup_norm(spark, sf_dir):
+    """Normalization-invariant exact dedup (casefold + whitespace
+    collapse before hashing) — the first pass of a web-dedup pipeline
+    (operators/dedup.py normalized_dedup_groups)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return dedup.normalized_dedup_groups(docs)
+
+
+def sql_dedup_norm():
+    return (
+        "SELECT min(doc_id) AS keeper_id, count(*) AS dup_count FROM "
+        "(SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm "
+        "FROM documents) GROUP BY norm"
+    )
+
+
+BIGRAM_K = 40
+
+
+def q_bigrams(spark, sf_dir):
+    """Top-K bigram COLLOCATIONS over the corpus — (bigram, total
+    count, document frequency), the co-occurrence statistic feeding
+    PMI/collocation extraction in a text-analysis pipeline. Ranking is
+    integer-exact: (cnt DESC, bigram ASC), so no float PMI crosses the
+    engine boundary. Plan: adjacent-token pairing is a JVM transform
+    over the token array (zero self-join — the oracle's pos+1 join is
+    the definition, not the plan), then ONE bigram-keyed aggregate
+    computing count and distinct-doc count together; the top-K is
+    TakeOrderedAndProject (per-partition heaps), never a global sort."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    t = dedup.tokens_df(docs)
+    bg_arr = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = t.select("doc_id", F.explode(bg_arr).alias("bigram"))
+    agg = bg.groupBy("bigram").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return agg.orderBy(F.col("cnt").desc(), F.col("bigram").asc()).limit(
+        BIGRAM_K
+    )
+
+
+def sql_bigrams():
+    return f"""
+WITH lst AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ ]+') AS l FROM documents
+), toks AS (
+  SELECT doc_id, unnest(l) AS token, generate_subscripts(l, 1) AS pos FROM lst
+), bg AS (
+  SELECT a.doc_id, a.token || ' ' || b.token AS bigram
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+)
+SELECT bigram, count(*) AS cnt, count(DISTINCT doc_id) AS df
+FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT {BIGRAM_K}
+"""
 
 
 def q_extract_text(spark, sf_dir):
@@ -2146,9 +2277,13 @@ def catalog():
         "geo_degree_hist": (q_geo_degree_hist, sql_geo_degree_hist()),
         "geo_components": (q_geo_components, sql_geo_components()),
         "geo_dbscan": (q_geo_dbscan, sql_geo_dbscan()),
+        "geo_rknn": (q_geo_rknn, sql_geo_rknn()),
+        "geo_closest_pair": (q_geo_closest_pair, sql_geo_closest_pair()),
         "events_rollup": (q_events_rollup, sql_events_rollup()),
         "events_sessionize": (q_events_sessionize, sql_events_sessionize()),
         "dedup_keep": (q_dedup_keep, sql_dedup_keep()),
+        "dedup_norm": (q_dedup_norm, sql_dedup_norm()),
+        "bigrams": (q_bigrams, sql_bigrams()),
         "quality_filter": (q_quality_filter, sql_quality_filter()),
         "lang_predict": (q_lang_predict, sql_lang_predict()),
         "events_asof": (q_events_asof, sql_events_asof()),
