@@ -1681,6 +1681,92 @@ def sql_geo_components():
     )
 
 
+def q_geo_triangles(spark, sf_dir):
+    """Per-vertex TRIANGLE counts of the epsilon-graph at GEO_CC_R —
+    the local-clustering-coefficient numerator, via the degree-ordered
+    orientation (operators/graph_metrics.py): wedges enumerate only
+    from out-neighborhoods whose size the ordering caps at O(sqrt(m)),
+    so a hot spatial cell's hub vertex never owns a quadratic key.
+    Integer-exact; zeros included via the id universe."""
+    from .operators.graph_metrics import triangle_counts
+
+    pts, stats = _geo_points(spark, sf_dir)
+    edges = ball_self_join(pts, GEO_CC_R, d=3, stats=stats).select("src", "dst")
+    return triangle_counts(edges, nodes=pts)
+
+
+def sql_geo_triangles():
+    """DuckDB oracle: the x<y<z closed-wedge definition, one row per
+    triangle, unpivoted to vertices and counted."""
+    return (
+        _PTS_CTE
+        + ", e AS (SELECT a.id AS src, b.id AS dst FROM xyz a JOIN xyz b ON a.id < b.id "
+        "WHERE sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z)) "
+        f"<= {GEO_CC_R!r}), "
+        "tri AS (SELECT p.src AS x, p.dst AS y, q.dst AS z FROM e p "
+        "JOIN e q ON q.src = p.dst JOIN e r ON r.src = p.src AND r.dst = q.dst), "
+        "v AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri "
+        "UNION ALL SELECT z FROM tri) "
+        "SELECT pt.id, CAST(coalesce(t.c, 0) AS BIGINT) AS triangles "
+        "FROM xyz pt LEFT JOIN (SELECT id, count(*) AS c FROM v GROUP BY id) t "
+        "USING (id)"
+    )
+
+
+def q_geo_bfs_hops(spark, sf_dir):
+    """Exact BFS hop distances over the epsilon-graph, from a
+    deterministic data-derived source: the min-id vertex of the
+    LARGEST component (ties to the smaller component label — which IS
+    its min id), so the fixture exercises real multi-level expansion
+    instead of a singleton source. Synchronous frontier joins with
+    per-level lineage truncation (operators/graph_metrics.py);
+    unreached vertices report -1. Level count is bounded by the
+    GEOMETRIC diameter O(extent/eps), not by n — the property that
+    makes BFS over an epsilon-graph tractable at 10^12 rows."""
+    from .operators.components import connected_components
+    from .operators.graph_metrics import bfs_hops
+
+    pts, stats = _geo_points(spark, sf_dir)
+    edges = (
+        ball_self_join(pts, GEO_CC_R, d=3, stats=stats)
+        .select("src", "dst")
+        .persist()
+    )
+    comp = connected_components(edges, nodes=pts)
+    pick = (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("c"))
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), "component")).alias("m"))
+        .select(F.col("m.component"))
+        .collect()[0][0]
+    )
+    return bfs_hops(edges, source=int(pick), nodes=pts)
+
+
+def sql_geo_bfs_hops(hop_cap: int = 200):
+    """DuckDB oracle: component closure -> largest component's label
+    as the source -> recursive hop expansion (UNION-dedup, capped well
+    above the fixture diameter) -> min hop per node, -1 unreached."""
+    cte = _PTS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        cte
+        + ", e AS (SELECT a.id AS src, b.id AS dst FROM xyz a JOIN xyz b ON a.id <> b.id "
+        "WHERE sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z)) "
+        f"<= {GEO_CC_R!r}), "
+        "reach AS (SELECT id AS node, id AS label FROM xyz "
+        "UNION SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node), "
+        "comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node), "
+        "srcpick AS (SELECT component FROM (SELECT component, count(*) AS c "
+        "FROM comp GROUP BY component) ORDER BY c DESC, component ASC LIMIT 1), "
+        "hops AS (SELECT component AS node, 0 AS hop FROM srcpick "
+        "UNION SELECT e.dst, h.hop + 1 FROM hops h JOIN e ON e.src = h.node "
+        f"WHERE h.hop < {hop_cap}) "
+        "SELECT x.id, CAST(coalesce(m.h, -1) AS BIGINT) AS hop FROM xyz x "
+        "LEFT JOIN (SELECT node, MIN(hop) AS h FROM hops GROUP BY node) m "
+        "ON m.node = x.id"
+    )
+
+
 DBSCAN_MIN_PTS = 4  # at sf0.01/GEO_CC_R: 131 core, 21 border, 348 noise, 7 clusters
 
 
@@ -2277,6 +2363,8 @@ def catalog():
         "geo_degree_hist": (q_geo_degree_hist, sql_geo_degree_hist()),
         "geo_components": (q_geo_components, sql_geo_components()),
         "geo_dbscan": (q_geo_dbscan, sql_geo_dbscan()),
+        "geo_triangles": (q_geo_triangles, sql_geo_triangles()),
+        "geo_bfs_hops": (q_geo_bfs_hops, sql_geo_bfs_hops()),
         "geo_rknn": (q_geo_rknn, sql_geo_rknn()),
         "geo_closest_pair": (q_geo_closest_pair, sql_geo_closest_pair()),
         "events_rollup": (q_events_rollup, sql_events_rollup()),
