@@ -1044,6 +1044,38 @@ def sql_emb_neardup():
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 6
+
+
+def q_kmeans_assign(spark, sf_dir):
+    """Lloyd k-means cluster assignment over the unit embeddings —
+    deterministic init (k smallest ids), 6 iterations, broadcast
+    centers, one zero-shuffle GEMM scan per iteration
+    (operators/kmeans.py). Iterative -> no SQL oracle; exactness is
+    pinned by the numpy-parity pytest (test_kmeans.py)."""
+    from .operators.kmeans import lloyd_kmeans
+    from .operators.similarity import normalized_points
+
+    unit = normalized_points(src.load_table(spark, sf_dir, "embeddings"))
+    assign, _ = lloyd_kmeans(unit, KMEANS_K, iters=KMEANS_ITERS)
+    return assign
+
+
+def q_semdedup_keep(spark, sf_dir):
+    """SemDeDup keep-set (Abbas et al. 2303.09540): k-means the unit
+    embeddings, then within each cluster drop every doc that has a
+    smaller-id member at cosine >= tau — the semantic-dedup curation
+    pass. One cluster-keyed shuffle + per-cluster GEMM
+    (operators/kmeans.py). Iterative -> numpy-parity pytest, no SQL
+    oracle."""
+    from .operators.kmeans import semdedup_keep
+    from .operators.similarity import normalized_points
+
+    unit = normalized_points(src.load_table(spark, sf_dir, "embeddings"))
+    return semdedup_keep(unit, KMEANS_K, tau=COS_TAU, iters=KMEANS_ITERS)
+
+
 # ---- text / dedup queries ----------------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -2382,4 +2414,6 @@ def catalog():
         "simhash_neardup": (q_simhash_neardup, None),
         "doc_fingerprints": (q_doc_fingerprints, None),
         "ivf_topk": (q_ivf_topk, None),
+        "kmeans_assign": (q_kmeans_assign, None),
+        "semdedup_keep": (q_semdedup_keep, None),
     }
