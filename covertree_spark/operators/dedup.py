@@ -261,6 +261,93 @@ def sql_neardup_groups(
     )
 
 
+def char_ngram_pairs(
+    docs: DataFrame,
+    length: int = 40,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ExactSubstr-style duplication candidates (Lee et al., "
+    Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, §ExactSubstr): pairs (a, b, shared) with a < b
+    and ``shared`` = number of DISTINCT character ``length``-grams the
+    two documents have in common, kept when shared >= min_shared. A
+    shared char-L-gram IS a shared substring of length L, so this is
+    the equi-join rendering of suffix-array substring dedup —
+    candidates track true copied-text density, never n^2.
+
+    ``max_df`` drops grams whose document frequency exceeds it before
+    the self-join (boilerplate guard — same role and same definition
+    change as ngram_jaccard_pairs' cut; the oracle applies the
+    identical rule). Integer-only output.
+
+    Scale: gram explode -> distinct -> df cut -> self-equi-join on the
+    gram -> pair-count aggregate; all built-in shuffle joins keyed on
+    the gram. At 10^12 docs the join key would be xxhash64(gram)
+    (8-byte shuffle keys, collisions ~n^2/2^64 only affect candidate
+    RECALL padding, never the verify stage); the catalog entry joins
+    on the raw gram so the oracle comparison is exact by construction.
+    """
+    from ..plans.session import mark_releasable
+
+    grams_arr = F.when(
+        F.length("text") >= length,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - length + 1),
+                lambda i: F.col("text").substr(i, F.lit(length)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = mark_releasable(
+        docs.select("doc_id", F.explode(grams_arr).alias("g")).persist()
+    )
+    if max_df is not None:
+        keep = (
+            grams.groupBy("g")
+            .agg(F.count("*").alias("_d"))
+            .where(F.col("_d") <= int(max_df))
+            .select("g")
+        )
+        grams = grams.join(keep, "g")
+    a = grams.select(F.col("doc_id").alias("a"), "g")
+    b = grams.select(F.col("doc_id").alias("b"), "g")
+    return (
+        a.join(b, "g")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= int(min_shared))
+    )
+
+
+def sql_char_ngram_pairs(
+    length: int = 40,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle: identical gram rule (1-based substr over
+    range(1, len-L+2), DISTINCT per doc), identical df cut, pair
+    count by equi-join."""
+    df_cut = (
+        f", dfq AS (SELECT g, count(*) AS d FROM grams GROUP BY g), "
+        f"keep AS (SELECT g FROM dfq WHERE d <= {max_df})"
+        if max_df is not None
+        else ""
+    )
+    join_keep = " JOIN keep k ON k.g = a.g" if max_df is not None else ""
+    return (
+        "WITH grams AS (SELECT DISTINCT doc_id, "
+        f"unnest(list_transform(range(1, greatest(len(text) - {length} + 2, 1)), "
+        f"i -> substr(text, i, {length}))) AS g FROM {table})"
+        f"{df_cut} "
+        "SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared "
+        f"FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id{join_keep} "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_shared}"
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,

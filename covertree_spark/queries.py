@@ -1090,6 +1090,34 @@ def sql_dedup_exact():
     )
 
 
+CHARGRAM_L = 40
+CHARGRAM_MIN_SHARED = 2
+CHARGRAM_MAX_DF = 20
+
+
+def q_char_ngram_pairs(spark, sf_dir):
+    """ExactSubstr-style duplication candidates: doc pairs sharing >=
+    min_shared distinct character 40-grams (a shared char-L-gram IS a
+    shared length-L substring) — the equi-join rendering of
+    suffix-array substring dedup (operators/dedup.py
+    char_ngram_pairs; Lee et al. arXiv:2107.06499)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    return dedup.char_ngram_pairs(
+        docs,
+        length=CHARGRAM_L,
+        min_shared=CHARGRAM_MIN_SHARED,
+        max_df=CHARGRAM_MAX_DF,
+    )
+
+
+def sql_char_ngram_pairs():
+    return dedup.sql_char_ngram_pairs(
+        length=CHARGRAM_L,
+        min_shared=CHARGRAM_MIN_SHARED,
+        max_df=CHARGRAM_MAX_DF,
+    )
+
+
 def q_dedup_norm(spark, sf_dir):
     """Normalization-invariant exact dedup (casefold + whitespace
     collapse before hashing) — the first pass of a web-dedup pipeline
@@ -2403,6 +2431,7 @@ def catalog():
         "events_sessionize": (q_events_sessionize, sql_events_sessionize()),
         "dedup_keep": (q_dedup_keep, sql_dedup_keep()),
         "dedup_norm": (q_dedup_norm, sql_dedup_norm()),
+        "char_ngram_pairs": (q_char_ngram_pairs, sql_char_ngram_pairs()),
         "bigrams": (q_bigrams, sql_bigrams()),
         "quality_filter": (q_quality_filter, sql_quality_filter()),
         "lang_predict": (q_lang_predict, sql_lang_predict()),

@@ -412,3 +412,45 @@ def test_decontaminate_planted_leaks(spark):
         for r in dedup.decontaminate(corp, ev, n=3, overlap_pct=50).collect()
     }
     assert kept == {3, 4, 5}
+
+
+def test_char_ngram_pairs_planted_substring(spark):
+    # docs 0 and 1 share the copied span INCLUDING its flanking
+    # spaces: 1 + 41 + 1 = 43 common chars -> 43-40+1 = 4 distinct
+    # 40-grams in common; doc 2 shares nothing that long; doc 3 is
+    # shorter than L (no grams at all)
+    span = "the quick brown fox jumps over the lazy d"  # 41 chars
+    assert len(span) == 41
+    rows = [
+        (0, "AAAA " + span + " BBBB"),
+        (1, "CCCC " + span + " DDDD"),
+        (2, "the quick brown fox sat still " + "x" * 30),
+        (3, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["a"], r["b"]): r["shared"]
+        for r in dedup.char_ngram_pairs(df, length=40, min_shared=2).collect()
+    }
+    assert got == {(0, 1): 4}
+
+
+def test_char_ngram_max_df_drops_boilerplate(spark):
+    # a 40-char boilerplate shared by ALL docs is cut at max_df=2;
+    # only the pair with a second, rare shared span survives
+    boiler = "B" * 40
+    rare = "R" * 40 + "unique tail"
+    rows = [
+        (0, boiler + " " + rare),
+        (1, boiler + " " + rare),
+        (2, boiler + " other text entirely here today now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["a"], r["b"])
+        for r in dedup.char_ngram_pairs(
+            df, length=40, min_shared=1, max_df=2
+        ).collect()
+    }
+    assert (0, 1) in got
+    assert all(p == (0, 1) or 2 not in p for p in got)
