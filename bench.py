@@ -90,6 +90,14 @@ BENCH_QUERIES = [
     "zonal_stats",
     "lang_top_docs",
     "geo_hull",
+    # round-5 additions: clustering / graph analytics / curation ops
+    "geo_dbscan",
+    "geo_rknn",
+    "geo_closest_pair",
+    "neardup_groups",
+    "knn_classify",
+    "bigrams",
+    "semdedup_keep",
 ]
 
 
