@@ -372,3 +372,166 @@ def tile_regions(
     return comp.select(
         F.col("id").alias("tile"), F.col("component").alias("region")
     )
+
+
+def tile_focal_sum(
+    points: DataFrame, zoom: int, lon_col: str = "lon", lat_col: str = "lat"
+) -> DataFrame:
+    """FOCAL map algebra (the raster moving-window staple — GDAL
+    focal sum / ESRI FocalStatistics): for every occupied tile, the
+    total point count over its 3x3 tile neighborhood at ``zoom``,
+    longitude wrapping mod 2^zoom and latitude clamping at the poles
+    (the cell codec's k_ring convention, core/cells.py:82).
+
+    Physical plan (Spark-first, scatter formulation): ONE points-sized
+    groupBy builds the tile histogram — the only O(points) pass — then
+    each occupied tile scatters its count to its 9 ring targets via an
+    exploded literal offset array (pure JVM, no Python), a second
+    histogram-sized groupBy sums arrivals, and an equi-join restricts
+    output to occupied tiles. Scatter == gather because the Chebyshev
+    ring is symmetric under the same wrap/clamp rules. At 10^12 rows
+    everything after the first histogram shuffles O(occupied tiles)
+    rows (<= 4^zoom), never points. Integer-exact in both engines.
+
+    Returns (tile, cnt, focal)."""
+    assert zoom >= 2, "ring offsets collapse below 4x4 grids"
+    n = 1 << zoom
+    h = tile_histogram(points, zoom, lon_col, lat_col)
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("o")
+    tx = ((F.col("tile") - F.col("tile") % n) / n).cast("bigint")  # ix, exact
+    scattered = (
+        h.select("tile", "cnt", offs)
+        .select(
+            (
+                F.pmod(tx + F.col("o.dx"), F.lit(n)) * n
+                + (F.col("tile") % n + F.col("o.dy"))
+            ).alias("target"),
+            (F.col("tile") % n + F.col("o.dy")).alias("_ty"),
+            "cnt",
+        )
+        .where((F.col("_ty") >= 0) & (F.col("_ty") < n))
+        .groupBy(F.col("target").alias("tile"))
+        .agg(F.sum("cnt").alias("focal"))
+    )
+    return h.join(scattered, "tile").select("tile", "cnt", "focal")
+
+
+def sql_tile_focal_sum(tile_expr: str, zoom: int, table: str = "documents") -> str:
+    """ANSI-SQL oracle for ``tile_focal_sum`` — the GATHER formulation
+    (per occupied tile, join every occupied ring member): the scatter/
+    gather identity is exactly what hash equality proves."""
+    n = 1 << zoom
+    ax, bx = f"CAST(floor(a.tile / {n}.0) AS BIGINT)", f"CAST(floor(b.tile / {n}.0) AS BIGINT)"
+    return (
+        f"WITH h AS (SELECT {tile_expr} AS tile, count(*) AS cnt FROM {table} GROUP BY 1) "
+        f"SELECT a.tile AS tile, a.cnt AS cnt, CAST(sum(b.cnt) AS BIGINT) AS focal "
+        f"FROM h a JOIN h b ON ((({ax}) - ({bx})) % {n} + {n}) % {n} IN (0, 1, {n - 1}) "
+        f"AND abs((a.tile % {n}) - (b.tile % {n})) <= 1 "
+        f"GROUP BY 1, 2"
+    )
+
+
+def tile_mode(
+    points: DataFrame,
+    zoom: int,
+    cat_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """(tile, mode_cat): per-tile MAJORITY category — rasterization of
+    a categorical attribute. Deterministic tie-break: highest count,
+    then smallest category value (order-free, unlike scan-order
+    argmax). Bounded window: <= |categories| rows per tile key."""
+    from pyspark.sql import Window
+
+    c = (
+        assign_tiles(points, zoom, lon_col, lat_col)
+        .groupBy("tile", cat_col)
+        .agg(F.count("*").alias("_c"))
+    )
+    w = Window.partitionBy("tile").orderBy(
+        F.col("_c").desc(), F.col(cat_col).asc()
+    )
+    return (
+        c.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("tile", F.col(cat_col).alias("mode_cat"))
+    )
+
+
+def tile_mode_resample(
+    points: DataFrame,
+    zoom: int,
+    parent_zoom: int,
+    cat_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """MODE (majority) RESAMPLING — the categorical counterpart of
+    tile_pyramid's sum rollup (GDAL ``-r mode``): each parent tile at
+    ``parent_zoom`` takes the most common value among its occupied
+    child tiles' modes at ``zoom``, ties to the smallest value; the
+    contributing-pixel rule, not a re-aggregation of raw points.
+
+    Plan shape mirrors tile_pyramid: points aggregate ONCE at the
+    finest zoom; the parent level is pure shift arithmetic on the
+    child tile id plus histogram-sized aggregates. Returns
+    (tile, mode_cat, n_children) at ``parent_zoom`` with n_children =
+    occupied child-tile count."""
+    assert parent_zoom <= zoom
+    from pyspark.sql import Window
+
+    child = tile_mode(points, zoom, cat_col, lon_col, lat_col)
+    n, pn, shift = 1 << zoom, 1 << parent_zoom, zoom - parent_zoom
+    ix = ((F.col("tile") - F.col("tile") % n) / n).cast("bigint")
+    ptile = (
+        F.shiftright(ix, shift) * pn
+        + F.shiftright((F.col("tile") % n).cast("bigint"), shift)
+    ).alias("tile")
+    pc = (
+        child.select(ptile, "mode_cat")
+        .groupBy("tile", "mode_cat")
+        .agg(F.count("*").alias("_c"))
+    )
+    w = Window.partitionBy("tile").orderBy(
+        F.col("_c").desc(), F.col("mode_cat").asc()
+    )
+    nch = pc.groupBy("tile").agg(F.sum("_c").alias("n_children"))
+    top = (
+        pc.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("tile", "mode_cat")
+    )
+    return top.join(nch, "tile").select("tile", "mode_cat", "n_children")
+
+
+def sql_tile_mode_resample(
+    tile_expr: str, zoom: int, parent_zoom: int, cat_col: str,
+    table: str = "documents",
+) -> str:
+    """ANSI-SQL oracle for ``tile_mode_resample`` (same tie-break)."""
+    n, pn, shift = 1 << zoom, 1 << parent_zoom, zoom - parent_zoom
+    ix = f"CAST(floor(tile / {n}.0) AS BIGINT)"
+    iy = f"(tile % {n})"
+    ptile = (
+        f"CAST(floor(({ix}) / {1 << shift}.0) AS BIGINT) * {pn} "
+        f"+ CAST(floor(({iy}) / {1 << shift}.0) AS BIGINT)"
+    )
+    return (
+        f"WITH c AS (SELECT {tile_expr} AS tile, {cat_col}, count(*) AS cnt "
+        f"FROM {table} GROUP BY 1, 2), "
+        f"m AS (SELECT tile, {cat_col} FROM c QUALIFY row_number() OVER ("
+        f"PARTITION BY tile ORDER BY cnt DESC, {cat_col} ASC) = 1), "
+        f"pm AS (SELECT {ptile} AS tile, {cat_col}, count(*) AS cnt FROM m GROUP BY 1, 2) "
+        f"SELECT tile, {cat_col} AS mode_cat, "
+        f"CAST(sum(cnt) OVER (PARTITION BY tile) AS BIGINT) AS n_children FROM pm "
+        f"QUALIFY row_number() OVER (PARTITION BY tile ORDER BY cnt DESC, {cat_col} ASC) = 1"
+    )

@@ -751,6 +751,47 @@ def sql_tile_pyramid():
     return " UNION ALL ".join(parts)
 
 
+def q_tile_focal_sum(spark, sf_dir):
+    """FOCAL SUM — raster moving-window map algebra over the tile
+    grid: for every occupied tile at HIST_Z, the point count summed
+    over its 3x3 neighborhood (lon wraps, lat clamps). One O(points)
+    histogram pass, then O(occupied-tiles) scatter/groupBy — see
+    operators/tiles.tile_focal_sum for the 100 TB plan notes. Hash
+    equality against the oracle's GATHER formulation proves the
+    scatter/gather identity, the wraparound arithmetic (the sf0.01
+    grid occupies the full 64x64 torus, so x=0 vs x=63 adjacency is
+    exercised) and the clamp rule, all integer-exact."""
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    return tiles.tile_focal_sum(pts, HIST_Z)
+
+
+def sql_tile_focal_sum():
+    t = cellcodec.sql_cell_expr(_LON_E, _LAT_E, HIST_Z)
+    return tiles.sql_tile_focal_sum(t, HIST_Z)
+
+
+def q_tile_mode_resample(spark, sf_dir):
+    """MODE (majority) RESAMPLING — the categorical raster rollup
+    (GDAL ``-r mode``): per-tile majority ``lang`` at HIST_Z, then
+    each parent tile at TILE_Z takes the majority of its occupied
+    children's modes (ties to the smaller value at both levels —
+    order-free, exactly reproducible in SQL). Complements
+    tile_pyramid's SUM rollup with the categorical one; counts and
+    strings only, so both engines decide every row exactly."""
+    pts = src.load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.expr(_LON_E).alias("lon"),
+        F.expr(_LAT_E).alias("lat"),
+        "lang",
+    )
+    return tiles.tile_mode_resample(pts, HIST_Z, TILE_Z, cat_col="lang")
+
+
+def sql_tile_mode_resample():
+    t = cellcodec.sql_cell_expr(_LON_E, _LAT_E, HIST_Z)
+    return tiles.sql_tile_mode_resample(t, HIST_Z, TILE_Z, "lang")
+
+
 def q_tile_regions(spark, sf_dir):
     """RASTER -> VECTOR region labeling (the polygonize step): label
     the 4-connected regions of OCCUPIED tiles at HIST_Z, region id =
@@ -2395,6 +2436,8 @@ def catalog():
             q_tile_poly_cover_table,
             sql_tile_poly_cover_table(),
         ),
+        "tile_focal_sum": (q_tile_focal_sum, sql_tile_focal_sum()),
+        "tile_mode_resample": (q_tile_mode_resample, sql_tile_mode_resample()),
         "emb_ball_join": (q_emb_ball_join, sql_emb_ball_join()),
         "emb_knn": (q_emb_knn, sql_emb_knn()),
         "cosine_topk": (q_cosine_topk, sql_cosine_topk()),

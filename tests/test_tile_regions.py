@@ -100,3 +100,53 @@ def test_haversine_basics():
     # chord round-trip consistency: gc -> chord -> gc
     theta = 1234.5 / G.EARTH_RADIUS_KM
     assert abs(G.chord_to_gc(G.gc_to_chord(theta)) - theta) < 1e-12
+
+
+def _pt(ix, iy, n=4):
+    """(lon, lat) at the center of grid cell (ix, iy) on an n x n grid."""
+    return (-180.0 + (ix + 0.5) * 360.0 / n, -90.0 + (iy + 0.5) * 180.0 / n)
+
+
+def test_tile_focal_sum_wrap_and_clamp(spark):
+    """Hand grid at zoom 2 (n=4): (0,0) and (3,0) are lon-wrap
+    neighbors (x=0 vs x=3 adjacent mod 4); the y=-1 row clamps away at
+    the south pole. Integer-exact expectations computed by hand."""
+    from covertree_spark.operators.tiles import tile_focal_sum
+
+    cells = {(0, 0): 1, (3, 0): 2, (0, 1): 4, (1, 1): 8}
+    rows = []
+    i = 0
+    for (ix, iy), cnt in cells.items():
+        lon, lat = _pt(ix, iy)
+        for _ in range(cnt):
+            rows.append((i, lon, lat))
+            i += 1
+    pts = spark.createDataFrame(rows, "id bigint, lon double, lat double")
+    got = {
+        r["tile"]: (r["cnt"], r["focal"])
+        for r in tile_focal_sum(pts, 2).collect()
+    }
+    # tile = ix*4 + iy
+    assert got == {0: (1, 15), 12: (2, 7), 1: (4, 15), 5: (8, 13)}
+
+
+def test_tile_mode_resample_tie_breaks(spark):
+    """Per-tile tie -> smaller category; parent majority over child
+    MODES (not raw points: tile 0 holds 2 'b' points but contributes
+    one 'b' vote, so 'a' wins the parent 2-1)."""
+    from covertree_spark.operators.tiles import tile_mode, tile_mode_resample
+
+    spec = [((0, 0), "b"), ((0, 0), "b"), ((0, 1), "a"),
+            ((1, 0), "c"), ((1, 0), "a")]
+    rows = []
+    for i, ((ix, iy), lang) in enumerate(spec):
+        lon, lat = _pt(ix, iy)
+        rows.append((i, lon, lat, lang))
+    pts = spark.createDataFrame(rows, "id bigint, lon double, lat double, lang string")
+    modes = {r["tile"]: r["mode_cat"] for r in tile_mode(pts, 2, "lang").collect()}
+    assert modes == {0: "b", 1: "a", 4: "a"}  # (1,0) ties c/a -> a
+    got = {
+        r["tile"]: (r["mode_cat"], r["n_children"])
+        for r in tile_mode_resample(pts, 2, 1, "lang").collect()
+    }
+    assert got == {0: ("a", 3)}
