@@ -114,3 +114,78 @@ def convex_hull(
     return partials.coalesce(1).mapInPandas(
         final, schema="vertex_idx bigint, " + schema
     )
+
+
+def sql_convex_hull(lon_expr: str, lat_expr: str, id_col: str = "doc_id",
+                    table: str = "documents") -> str:
+    """ANSI-SQL oracle for ``convex_hull`` (vertex_idx, doc_id) — the
+    O(m^3) edge-certificate formulation over Akl-Toussaint survivors.
+
+    (p,q) is a strict-hull edge iff no other point is strictly right
+    of p->q and any EXACTLY collinear point lies strictly between them
+    (the fixture's lon/lat derivation is affine in id within residue
+    classes, so collinear runs sit exactly ON hull edges — their
+    interior points are dropped by the strict chain and must not veto
+    the spanning edge). The quad prefilter discards points strictly
+    inside the 4-extreme-point quadrilateral by a 1e-9 margin — sound:
+    the quad is a convex subset of the hull, so its strict interior
+    contains no hull vertex, and any point right of a candidate edge
+    would contradict all four corners being left of it.
+
+    vertex_idx reproduces the monotone chain's emission order WITHOUT
+    a recursive walk (a recursive CTE re-evaluates the edge CTE every
+    step): CCW from the lexicographic-min vertex = lower-chain
+    interior by (lon, lat) ASC, then the lexicographic-max vertex,
+    then upper-chain interior by (lon, lat) DESC — chain membership
+    decided by the sign of the cross product against the min->max
+    chord (zero only at the endpoints themselves, since strict-hull
+    collinear interior vertices do not exist). Assumes distinct
+    coordinates (true for the id-derived fixture; convex_hull itself
+    dedups exact duplicates keeping the smallest id)."""
+    cr = "(e.bx - e.ax) * (p.lat - e.ay) - (e.by - e.ay) * (p.lon - e.ax)"
+    rcr = "(b.lon - a.lon) * (r.lat - a.lat) - (b.lat - a.lat) * (r.lon - a.lon)"
+    rdot = "(r.lon - a.lon) * (b.lon - a.lon) + (r.lat - a.lat) * (b.lat - a.lat)"
+    blen = "(b.lon - a.lon) * (b.lon - a.lon) + (b.lat - a.lat) * (b.lat - a.lat)"
+    return f"""
+WITH pts AS (SELECT {id_col} AS id, {lon_expr} AS lon, {lat_expr} AS lat FROM {table}),
+corners AS (
+  SELECT 1 AS k, lon, lat FROM (SELECT * FROM pts ORDER BY lon ASC, lat ASC, id ASC LIMIT 1)
+  UNION ALL SELECT 2, lon, lat FROM (SELECT * FROM pts ORDER BY lat ASC, lon DESC, id ASC LIMIT 1)
+  UNION ALL SELECT 3, lon, lat FROM (SELECT * FROM pts ORDER BY lon DESC, lat DESC, id ASC LIMIT 1)
+  UNION ALL SELECT 4, lon, lat FROM (SELECT * FROM pts ORDER BY lat DESC, lon ASC, id ASC LIMIT 1)
+),
+qedges AS (
+  SELECT c1.lon AS ax, c1.lat AS ay, c2.lon AS bx, c2.lat AS by
+  FROM corners c1 JOIN corners c2 ON c2.k = (c1.k % 4) + 1
+),
+cand AS (
+  SELECT p.id, p.lon, p.lat FROM pts p CROSS JOIN qedges e
+  GROUP BY p.id, p.lon, p.lat
+  HAVING min({cr}) <= 1e-9
+),
+verts AS (
+  SELECT a.id, a.lon, a.lat
+  FROM cand a JOIN cand b ON a.id <> b.id
+  JOIN cand r ON r.id <> a.id AND r.id <> b.id
+  GROUP BY a.id, b.id, a.lon, a.lat, b.lon, b.lat
+  HAVING sum(CASE WHEN ({rcr}) < 0
+      OR (({rcr}) = 0 AND (({rdot}) <= 0 OR ({rdot}) >= ({blen})))
+    THEN 1 ELSE 0 END) = 0
+),
+lo AS (SELECT lon AS x0, lat AS y0 FROM pts ORDER BY lon ASC, lat ASC, id ASC LIMIT 1),
+hi AS (SELECT lon AS x1, lat AS y1 FROM pts ORDER BY lon DESC, lat DESC, id DESC LIMIT 1),
+ordered AS (
+  SELECT v.id,
+    CASE WHEN v.lon = lo.x0 AND v.lat = lo.y0 THEN 0
+         WHEN (hi.x1 - lo.x0) * (v.lat - lo.y0) - (hi.y1 - lo.y0) * (v.lon - lo.x0) < 0 THEN 1
+         WHEN v.lon = hi.x1 AND v.lat = hi.y1 THEN 2
+         ELSE 3 END AS grp,
+    v.lon, v.lat
+  FROM (SELECT DISTINCT id, lon, lat FROM verts) v CROSS JOIN lo CROSS JOIN hi
+)
+SELECT CAST(row_number() OVER (ORDER BY grp ASC,
+    CASE WHEN grp = 1 THEN lon END ASC, CASE WHEN grp = 1 THEN lat END ASC,
+    CASE WHEN grp = 3 THEN lon END DESC, CASE WHEN grp = 3 THEN lat END DESC
+  ) - 1 AS BIGINT) AS vertex_idx, id AS doc_id
+FROM ordered
+"""

@@ -699,13 +699,94 @@ def sql_zonal_stats():
 def q_geo_hull(spark, sf_dir):
     """Convex hull of the corpus geometry — associative partial-hull
     reduce (operators/hull.py), partition-invariant by construction.
-    Rows-only in the driver gate (a hull has no SQL formulation);
-    exactness is pinned by tests/test_hull.py: identical output at 1,
-    7 and 32 partitions and equal to a driver-side monotone chain."""
+    Oracle-gated since r5 (sql_convex_hull: O(m^3) edge-certificate
+    over Akl-Toussaint survivors, chain-order vertex_idx without
+    recursion); partition invariance additionally pinned by
+    tests/test_hull.py at 1, 7 and 32 partitions. Every decision in
+    both engines is the sign of the SAME float64 cross product, so
+    the hash match covers the fixture's exactly-collinear on-edge
+    runs (lon/lat are affine in doc_id within residue classes)."""
     from .operators.hull import convex_hull
 
     pts = src.doc_points_lonlat(spark, sf_dir)
     return convex_hull(pts).select("vertex_idx", F.col("id").alias("doc_id"))
+
+
+def sql_geo_hull():
+    from .operators.hull import sql_convex_hull
+
+    return sql_convex_hull(_LON_E, _LAT_E)
+
+
+def q_geo_isolated(spark, sf_dir):
+    """Spatial EXCLUSION join (anti ball join): documents with NO
+    other document within chord radius GEO_CC_R — the spatial-outlier
+    / negative-join shape (reference J-family joins composed with an
+    anti-join instead of an emit). Plan: the standard cogroup-aligned
+    epsilon-ball join produces the src side; a broadcast-able
+    LEFT ANTI join against the id universe inverts it. Nothing new
+    shuffles — the pair stream is the already-verified ball join, and
+    the anti-join key is a bigint id. Radius GEO_CC_R reuses the
+    components radius (documented boundary clearance 1.1e-4 at
+    sf0.01), giving 167 isolated docs at sf0.01 — non-trivial output,
+    integer-exact in both engines."""
+    pts, stats = _geo_points(spark, sf_dir)
+    pairs = ball_self_join(pts, GEO_CC_R, d=3, stats=stats).select("src")
+    return (
+        pts.select("id")
+        .join(pairs, pts["id"] == pairs["src"], "left_anti")
+        .select("id")
+    )
+
+
+def sql_geo_isolated():
+    return (
+        _PTS_CTE
+        + " SELECT a.id AS id FROM xyz a WHERE NOT EXISTS ("
+        "SELECT 1 FROM xyz b WHERE b.id <> a.id AND "
+        "sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z))"
+        f" <= {GEO_CC_R!r})"
+    )
+
+
+def q_knn_regress(spark, sf_dir):
+    """Rank-weighted kNN REGRESSION over the exact-kNN output: each
+    doc's token count predicted from its k geo-nearest neighbors with
+    integer weights (k+1-rank). Returned as the exact rational
+    (num, den) pair of BIGINTs — sum of products of integers — so the
+    driver's value-hash is bit-exact with no float-summation-order
+    caveat (den varies only when a point has < k neighbors; kept for
+    generality). The kNN plan is the verified two-phase prune; the
+    regression adds ONE broadcast-able join (token counts, id-keyed)
+    and a src-keyed partial aggregate — at 10^12 rows the join key
+    co-partitions with the kNN output, no extra table-sized
+    shuffle."""
+    pts, stats = _geo_points(spark, sf_dir)
+    knn = knn_self_join(pts, k=KNN_K, d=3, stats=stats)
+    docs = src.load_table(spark, sf_dir, "documents")
+    tc = docs.select(
+        F.col("doc_id").alias("dst"),
+        tx.token_count_col(F.col("text")).cast("bigint").alias("_t"),
+    )
+    w = (F.lit(KNN_K + 1) - F.col("rank")).cast("bigint")
+    return (
+        knn.join(tc, "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.sum(w * F.col("_t")).cast("bigint").alias("num"),
+            F.sum(w).cast("bigint").alias("den"),
+        )
+    )
+
+
+def sql_knn_regress():
+    return (
+        f"WITH knn AS ({sql_geo_knn()}), "
+        f"tc AS (SELECT doc_id, {tx.sql_token_count('text')} AS t FROM documents) "
+        f"SELECT knn.src AS id, CAST(sum(({KNN_K} + 1 - rank) * tc.t) AS BIGINT) AS num, "
+        f"CAST(sum({KNN_K} + 1 - rank) AS BIGINT) AS den "
+        "FROM knn JOIN tc ON tc.doc_id = knn.dst GROUP BY 1"
+    )
 
 
 def q_tile_assign(spark, sf_dir):
@@ -2481,7 +2562,9 @@ def catalog():
         "events_asof": (q_events_asof, sql_events_asof()),
         "events_top_users": (q_events_top_users, sql_events_top_users()),
         "vecfile_ball_join": (q_vecfile_ball_join, sql_emb_ball_join()),
-        "geo_hull": (q_geo_hull, None),
+        "geo_hull": (q_geo_hull, sql_geo_hull()),
+        "geo_isolated": (q_geo_isolated, sql_geo_isolated()),
+        "knn_regress": (q_knn_regress, sql_knn_regress()),
         "minhash_neardup": (q_minhash_neardup, None),
         "simhash_neardup": (q_simhash_neardup, None),
         "doc_fingerprints": (q_doc_fingerprints, None),
