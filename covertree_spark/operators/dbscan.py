@@ -64,7 +64,15 @@ def dbscan_labels(
     """
     if edges is None:
         edges = ball_self_join(points, eps, d=d, stats=stats)
-    e = edges.select("src", "dst")
+    # ONE epsilon-graph materialization: three consumers read the edge
+    # set (degree agg, core-core subgraph, border min-join) — without
+    # the eager persist each re-runs the full ball join (measured 3x
+    # the query's distance work at sf0.1). count() materializes before
+    # fan-out, the AQE-union persist-race discipline (see knn.py).
+    from ..plans.session import mark_releasable
+
+    e = mark_releasable(edges.select("src", "dst").persist())
+    e.count()
     ids = points.select(F.col("id").cast("bigint").alias("id"))
 
     # |N_eps(p)| >= min_pts, self included: isolated points have no
@@ -72,10 +80,13 @@ def dbscan_labels(
     deg = e.groupBy(F.col("src").alias("id")).agg(
         (F.count("*") + F.lit(1)).alias("n_eps")
     )
-    core = (
+    # core is read 4x (two semi-joins, the components node set, the
+    # border anti-join); persisted it is one id-column aggregate
+    core = mark_releasable(
         ids.join(deg, "id", "left")
         .where(F.coalesce("n_eps", F.lit(1)) >= int(min_pts))
         .select("id")
+        .persist()
     )
 
     # clusters: components of the core-core subgraph (cores with no
@@ -85,8 +96,12 @@ def dbscan_labels(
         .join(core.withColumnRenamed("id", "dst"), "dst", "semi")
         .select("src", "dst")
     )
-    comp = connected_components(ce, nodes=core).select(
-        "id", F.col("component").alias("cluster")
+    # comp is read 3x (output union, border min-join, noise anti);
+    # persisting it caps the components pass at one execution
+    comp = mark_releasable(
+        connected_components(ce, nodes=core)
+        .select("id", F.col("component").alias("cluster"))
+        .persist()
     )
 
     # borders: non-core, >= 1 core neighbor; min core-cluster wins
@@ -102,12 +117,18 @@ def dbscan_labels(
         .agg(F.min("_c").alias("cluster"))
     )
 
-    labeled = comp.select(
-        "id", F.lit(ROLE_CORE).cast("bigint").alias("role"), "cluster"
-    ).unionByName(
-        border.select(
-            "id", F.lit(ROLE_BORDER).cast("bigint").alias("role"), "cluster"
+    labeled = mark_releasable(
+        comp.select(
+            "id", F.lit(ROLE_CORE).cast("bigint").alias("role"), "cluster"
         )
+        .unionByName(
+            border.select(
+                "id",
+                F.lit(ROLE_BORDER).cast("bigint").alias("role"),
+                "cluster",
+            )
+        )
+        .persist()
     )
     noise = ids.join(labeled.select("id"), "id", "anti").select(
         "id",

@@ -48,22 +48,30 @@ def edges_df(spark, pairs):
     )
 
 
-def test_path_graph_long_diameter(spark):
+@pytest.mark.parametrize("cutoff", [2_000_000, 0])  # one-task kernel / star loop
+def test_path_graph_long_diameter(spark, cutoff):
     """A 300-node path: diameter 299 >> the O(log^2 n) rounds the
     star algorithm needs — the case plain label propagation can't do
-    in bounded rounds."""
+    in bounded rounds. Both regimes of the data-adaptive dial."""
     pairs = [(i, i + 1) for i in range(299)]
-    got = got_pairs(connected_components(edges_df(spark, pairs)))
+    got = got_pairs(
+        connected_components(edges_df(spark, pairs), small_cutoff=cutoff)
+    )
     assert got == [(i, 0) for i in range(300)]
 
 
-def test_random_graph_matches_union_find(spark):
+@pytest.mark.parametrize("cutoff", [2_000_000, 0])
+def test_random_graph_matches_union_find(spark, cutoff):
     rng = np.random.default_rng(11)
     ids = list(range(400))
     pairs = [tuple(map(int, rng.choice(400, 2))) for _ in range(260)]
     pairs = [(a, b) for a, b in pairs if a != b]
     nodes = spark.createDataFrame([(i,) for i in ids], "id bigint")
-    got = got_pairs(connected_components(edges_df(spark, pairs), nodes=nodes))
+    got = got_pairs(
+        connected_components(
+            edges_df(spark, pairs), nodes=nodes, small_cutoff=cutoff
+        )
+    )
     assert got == union_find(ids, pairs)
 
 
@@ -78,11 +86,17 @@ def test_star_input_is_fixpoint(spark):
 
 def test_isolated_nodes_and_duplicate_edges(spark):
     """nodes= adds never-linked vertices (own component); duplicate /
-    reversed / self-loop input edges are canonicalized away."""
+    reversed / self-loop input edges are canonicalized away — in both
+    regimes of the data-adaptive dial."""
     pairs = [(5, 3), (3, 5), (5, 3), (7, 7), (1, 2)]
     nodes = spark.createDataFrame([(i,) for i in range(10)], "id bigint")
-    got = got_pairs(connected_components(edges_df(spark, pairs), nodes=nodes))
-    assert got == union_find(list(range(10)), [(5, 3), (1, 2)])
+    for cutoff in (2_000_000, 0):
+        got = got_pairs(
+            connected_components(
+                edges_df(spark, pairs), nodes=nodes, small_cutoff=cutoff
+            )
+        )
+        assert got == union_find(list(range(10)), [(5, 3), (1, 2)])
 
 
 def test_epsilon_graph_components_vs_bruteforce(spark):
@@ -116,5 +130,7 @@ def test_epsilon_graph_components_vs_bruteforce(spark):
 def test_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(
-            edges_df(spark, [(i, i + 1) for i in range(40)]), max_rounds=1
+            edges_df(spark, [(i, i + 1) for i in range(40)]),
+            max_rounds=1,
+            small_cutoff=0,  # force the star loop: the kernel path has no rounds
         )
