@@ -98,6 +98,10 @@ BENCH_QUERIES = [
     "knn_classify",
     "bigrams",
     "semdedup_keep",
+    "geo_isolated",
+    "knn_regress",
+    "tile_focal_sum",
+    "tile_mode_resample",
 ]
 
 
