@@ -126,6 +126,8 @@ def ngram_jaccard_pairs(
     the rare-shingle sets (sizes and intersections both filtered), so
     the SQL oracle expresses the identical rule. None = exact
     unfiltered semantics (the minhash verification oracle)."""
+    from pyspark.sql import Window
+
     from ..plans.session import mark_releasable
 
     # the exploded shingle table feeds the df-cut aggregate, BOTH join
@@ -133,18 +135,37 @@ def ngram_jaccard_pairs(
     # the string-heavy explode per consumer (operator caching contract:
     # registered releasable, dropped by the caller's ReleaseScope)
     sh = mark_releasable(shingles_df(docs, n).persist())
+    # DICTIONARY-ENCODE the shingle strings to int64 ids before the
+    # self-join: the df aggregate (needed for the max_df cut anyway)
+    # yields one row per distinct shingle; each gets a DETERMINISTIC
+    # dense id — rank within its hash bucket, sid = bucket<<40 | rank —
+    # a pure function of the shingle set (NOT monotonically_
+    # increasing_id, whose values shift if an evicted partition
+    # recomputes under a different layout, which would silently corrupt
+    # intersection counts at memory pressure). The heavy self-join then
+    # shuffles 8-byte keys instead of ~25-byte UTF-8 shingles (~3x
+    # fewer key bytes at web-text shingle lengths), and the persisted
+    # encoded frame is 2 longs/row. Exactness: the string->sid map is
+    # injective by construction, so per-pair intersection counts are
+    # identical to the string join's.
+    dic = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     if max_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("shingle")
-        )
-        sh = mark_releasable(sh.join(rare, "shingle").persist())
+        dic = dic.filter(F.col("df") <= max_df)
+    nbkt = 1 << 10  # rank windows parallelize over 1024 buckets
+    w = Window.partitionBy("_bkt").orderBy("shingle")
+    dic = dic.withColumn(
+        "_bkt", F.pmod(F.xxhash64("shingle"), F.lit(nbkt))
+    ).select(
+        "shingle",
+        (F.shiftleft(F.col("_bkt"), 40) + F.row_number().over(w)).alias("sid"),
+    )
+    sh = mark_releasable(
+        sh.join(dic, "shingle").select("doc_id", "sid").persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     pairs = (
         sh.alias("x")
-        .join(sh.alias("y"), F.col("x.shingle") == F.col("y.shingle"))
+        .join(sh.alias("y"), F.col("x.sid") == F.col("y.sid"))
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .groupBy(
             F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
