@@ -163,3 +163,103 @@ def _convex_hull(pts: np.ndarray) -> np.ndarray:
     lower = half(pts)
     upper = half(pts[::-1])
     return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
+
+
+def segments_properly_cross(pa: np.ndarray, pb: np.ndarray) -> bool:
+    """True iff any edge of ring ``pa`` PROPERLY crosses any edge of
+    ring ``pb`` (each segment's endpoints strictly on opposite sides
+    of the other's supporting line: d1*d2 < 0 AND d3*d4 < 0).
+    Vectorized over all edge pairs; float64 products — the SQL twin
+    (``sql_poly_overlap_query``) evaluates the identical expression
+    shapes, so both engines make bit-identical decisions even on
+    degenerate inputs."""
+    ax1, ay1 = pa[:, 0], pa[:, 1]
+    ax2, ay2 = np.roll(ax1, -1), np.roll(ay1, -1)
+    bx1, by1 = pb[:, 0], pb[:, 1]
+    bx2, by2 = np.roll(bx1, -1), np.roll(by1, -1)
+    # orient(p, q, r) = (qx-px)*(ry-py) - (qy-py)*(rx-px), (na, nb)
+    d1 = (ax2 - ax1)[:, None] * (by1[None, :] - ay1[:, None]) - (
+        ay2 - ay1
+    )[:, None] * (bx1[None, :] - ax1[:, None])
+    d2 = (ax2 - ax1)[:, None] * (by2[None, :] - ay1[:, None]) - (
+        ay2 - ay1
+    )[:, None] * (bx2[None, :] - ax1[:, None])
+    d3 = (bx2 - bx1)[None, :] * (ay1[:, None] - by1[None, :]) - (
+        by2 - by1
+    )[None, :] * (ax1[:, None] - bx1[None, :])
+    d4 = (bx2 - bx1)[None, :] * (ay2[:, None] - by1[None, :]) - (
+        by2 - by1
+    )[None, :] * (ax2[:, None] - bx1[None, :])
+    return bool(((d1 * d2 < 0) & (d3 * d4 < 0)).any())
+
+
+def poly_pair_intersects(pa: np.ndarray, pb: np.ndarray) -> bool:
+    """Polygon-polygon intersection predicate (simple rings, planar):
+    a vertex of one ring lies (even-odd) inside the other, OR some
+    edge pair properly crosses. Covers partial overlap, containment,
+    and the cross-shape (no vertex inside either). Touching-only
+    contact (shared boundary point, zero-area intersection) lands on
+    whichever side the even-odd arithmetic puts it — measure-zero,
+    and decided by the IDENTICAL expressions in both engines, so the
+    pair set is well-defined and oracle-stable either way."""
+    if bool(point_in_polygon(pa[:, 0], pa[:, 1], pb).any()):
+        return True
+    if bool(point_in_polygon(pb[:, 0], pb[:, 1], pa).any()):
+        return True
+    return segments_properly_cross(pa, pb)
+
+
+def poly_pairs_intersect_batch(PA: np.ndarray, PB: np.ndarray) -> np.ndarray:
+    """Batched ``poly_pair_intersects`` over fixed-arity ring stacks:
+    PA (n, ma, 2) vs PB (n, mb, 2), pairwise along axis 0 -> bool (n,).
+    SAME float64 expression shapes as the scalar kernels (vectorization
+    reorders nothing), so decisions are bit-identical — this is the
+    per-Arrow-batch fast path: one kernel call per (ma, mb) group
+    instead of a Python iteration per candidate pair. A closed-bbox
+    reject runs first (a pure candidate superset: an odd-crossings
+    vertex lies inside the other ring's bbox by the Jordan argument,
+    and a proper crossing needs overlapping closed bboxes)."""
+    n = PA.shape[0]
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    ax, ay = PA[:, :, 0], PA[:, :, 1]
+    bx, by = PB[:, :, 0], PB[:, :, 1]
+    live = ~(
+        (ax.max(axis=1) < bx.min(axis=1))
+        | (bx.max(axis=1) < ax.min(axis=1))
+        | (ay.max(axis=1) < by.min(axis=1))
+        | (by.max(axis=1) < ay.min(axis=1))
+    )
+    if not live.any():
+        return out
+    ax, ay, bx, by = ax[live], ay[live], bx[live], by[live]
+
+    def _vin(px, py, x1, y1, x2, y2):
+        # (g, mp, mq): vertex j of the probe vs edge k of the ring
+        pxe = px[:, :, None]
+        pye = py[:, :, None]
+        e_x1, e_y1 = x1[:, None, :], y1[:, None, :]
+        e_x2, e_y2 = x2[:, None, :], y2[:, None, :]
+        straddle = (e_y1 > pye) != (e_y2 > pye)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = e_x1 + (pye - e_y1) / (e_y2 - e_y1) * (e_x2 - e_x1)
+        crossings = (straddle & (pxe < xint)).sum(axis=2)
+        return ((crossings % 2) == 1).any(axis=1)
+
+    ax2, ay2 = np.roll(ax, -1, axis=1), np.roll(ay, -1, axis=1)
+    bx2, by2 = np.roll(bx, -1, axis=1), np.roll(by, -1, axis=1)
+    hit = _vin(ax, ay, bx, by, bx2, by2) | _vin(bx, by, ax, ay, ax2, ay2)
+    todo = ~hit
+    if todo.any():
+        a1x, a1y = ax[todo][:, :, None], ay[todo][:, :, None]
+        a2x, a2y = ax2[todo][:, :, None], ay2[todo][:, :, None]
+        b1x, b1y = bx[todo][:, None, :], by[todo][:, None, :]
+        b2x, b2y = bx2[todo][:, None, :], by2[todo][:, None, :]
+        d1 = (a2x - a1x) * (b1y - a1y) - (a2y - a1y) * (b1x - a1x)
+        d2 = (a2x - a1x) * (b2y - a1y) - (a2y - a1y) * (b2x - a1x)
+        d3 = (b2x - b1x) * (a1y - b1y) - (b2y - b1y) * (a1x - b1x)
+        d4 = (b2x - b1x) * (a2y - b1y) - (b2y - b1y) * (a2x - b1x)
+        hit[todo] = ((d1 * d2 < 0) & (d3 * d4 < 0)).any(axis=(1, 2))
+    out[live] = hit
+    return out

@@ -78,40 +78,19 @@ def polygons_table(spark, polys: list[np.ndarray]) -> DataFrame:
     )
 
 
-def pip_join_table(
-    points: DataFrame,
-    polys: DataFrame,
-    convex: bool = False,
-    cover_zoom: int = 4,
-    lon_col: str = "lon",
-    lat_col: str = "lat",
-    id_col: str = "id",
-) -> DataFrame:
-    """Point-in-polygon join against a polygon TABLE — the scale path
-    (round-4 VERDICT #4: the broadcast ``pip_join`` loops driver-side
-    over a Python list; fine for a fixture dimension, wrong shape for
-    a 10^4+-polygon table).
-
-    Plan (three fixed operators, size INDEPENDENT of polygon count):
-      1. polygon side: each row explodes to its bbox's covering tiles
-         at ``cover_zoom`` (mapInPandas; the vertex arrays ride along
-         — O(verts x tiles_per_poly) bytes, the analog of the ghost
-         shuffle's O(surface));
-      2. point side: tile id as a pure JVM projection (assign_tiles —
-         the same codec the raster operators use);
-      3. cogroup on tile: per tile, every local polygon fragment runs
-         the bbox prune + exact vectorized test (same numpy kernels as
-         pip_join, so results are identical by construction) against
-         the tile's point block.
-
-    At deployment scale the point side is the tile-aligned persisted
-    layout (zero home shuffle, like every other cogroup operator);
-    ``cover_zoom`` trades polygon-side fan-out against per-tile block
-    size exactly like the cell decomposition elsewhere."""
-    from .tiles import _bbox_tile_range, assign_tiles
+def poly_tile_frags(polys: DataFrame, cover_zoom: int) -> DataFrame:
+    """Polygon TABLE (poly_id, xs, ys) -> one fragment row per tile of
+    the polygon's bbox cover at ``cover_zoom``: (tile, poly_id, xs,
+    ys). The vertex arrays ride along — O(verts x tiles_per_poly)
+    bytes, the polygon analog of the ghost shuffle's O(surface).
+    Shared by the PIP table path and the polygon-polygon overlap join;
+    a tile-keyed equi-join on this output is complete for any
+    intersection predicate because any shared point lies in a tile
+    both bbox covers contain (tile clamping is monotone, so the
+    guarantee survives out-of-range bboxes)."""
+    from .tiles import _bbox_tile_range
 
     n = 1 << cover_zoom
-    test = point_in_convex if convex else point_in_polygon
 
     def cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -144,10 +123,129 @@ def pip_join_table(
                     }
                 )
 
-    frags = polys.mapInPandas(
+    return polys.mapInPandas(
         cover,
         schema="tile bigint, poly_id bigint, xs array<double>, ys array<double>",
     )
+
+
+def poly_overlap_join(polys: DataFrame, cover_zoom: int = 6) -> DataFrame:
+    """Polygon-polygon spatial SELF-join over a polygon TABLE
+    (poly_id, xs, ys): pairs (a, b), a < b, whose rings intersect
+    under ``core.polygons.poly_pair_intersects`` (vertex even-odd
+    containment either way, or a proper edge crossing). The
+    vector-vector join the reference lacks entirely (SURVEY §2.9 —
+    the reference is points-only; this completes the vector layer:
+    point-point, point-polygon, polygon-raster, polygon-polygon).
+
+    Plan (three fixed operators, independent of polygon count — the
+    same shape as every other spatial join here):
+      1. each polygon explodes to its bbox's covering tiles at
+         ``cover_zoom`` (poly_tile_frags) — candidates are complete
+         because intersecting polygons share a covering tile;
+      2. tile-keyed equi-join pairs co-tiled fragments (a < b), then
+         one aggregate dedupes pairs spanning several shared tiles
+         (first() is exact: the arrays are a pure function of pid);
+      3. exact vectorized predicate per candidate pair in mapInPandas
+         (numpy over all edge pairs — no per-row Python in the sense
+         that each pair's test is one vectorized kernel call).
+
+    At 10^4+ polygons/tile the quadratic co-tile pairing is the
+    familiar skew story: raise ``cover_zoom`` (smaller tiles) exactly
+    like the cell decomposition elsewhere; AQE splits the hot tile's
+    join partitions."""
+    from ..core.polygons import poly_pairs_intersect_batch
+
+    frags = poly_tile_frags(polys, cover_zoom)
+    cand = (
+        frags.alias("x")
+        .join(
+            frags.alias("y"),
+            (F.col("x.tile") == F.col("y.tile"))
+            & (F.col("x.poly_id") < F.col("y.poly_id")),
+        )
+        .groupBy(
+            F.col("x.poly_id").alias("a"), F.col("y.poly_id").alias("b")
+        )
+        .agg(
+            F.first("x.xs").alias("xsa"), F.first("x.ys").alias("ysa"),
+            F.first("y.xs").alias("xsb"), F.first("y.ys").alias("ysb"),
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per Arrow batch: group candidate pairs by ring arity and run
+        # ONE vectorized kernel call per (ma, mb) group — bit-identical
+        # decisions to the scalar poly_pair_intersects (the batch
+        # kernel reorders no float ops), ~25us/pair Python dispatch
+        # amortized away
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            la = pdf["xsa"].str.len().to_numpy()
+            lb = pdf["xsb"].str.len().to_numpy()
+            out_a, out_b = [], []
+            for (ma, mb), idx in pd.DataFrame(
+                {"ma": la, "mb": lb}
+            ).groupby(["ma", "mb"]).indices.items():
+                sub = pdf.iloc[idx]
+                PA = np.stack(
+                    [np.stack(sub["xsa"].to_numpy()),
+                     np.stack(sub["ysa"].to_numpy())], axis=2,
+                ).astype(np.float64, copy=False)
+                PB = np.stack(
+                    [np.stack(sub["xsb"].to_numpy()),
+                     np.stack(sub["ysb"].to_numpy())], axis=2,
+                ).astype(np.float64, copy=False)
+                hit = poly_pairs_intersect_batch(PA, PB)
+                if hit.any():
+                    out_a.append(sub["a"].to_numpy()[hit])
+                    out_b.append(sub["b"].to_numpy()[hit])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "a": np.concatenate(out_a).astype(np.int64),
+                        "b": np.concatenate(out_b).astype(np.int64),
+                    }
+                )
+
+    return cand.mapInPandas(run, schema="a bigint, b bigint")
+
+
+def pip_join_table(
+    points: DataFrame,
+    polys: DataFrame,
+    convex: bool = False,
+    cover_zoom: int = 4,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "id",
+) -> DataFrame:
+    """Point-in-polygon join against a polygon TABLE — the scale path
+    (round-4 VERDICT #4: the broadcast ``pip_join`` loops driver-side
+    over a Python list; fine for a fixture dimension, wrong shape for
+    a 10^4+-polygon table).
+
+    Plan (three fixed operators, size INDEPENDENT of polygon count):
+      1. polygon side: each row explodes to its bbox's covering tiles
+         at ``cover_zoom`` (mapInPandas; the vertex arrays ride along
+         — O(verts x tiles_per_poly) bytes, the analog of the ghost
+         shuffle's O(surface));
+      2. point side: tile id as a pure JVM projection (assign_tiles —
+         the same codec the raster operators use);
+      3. cogroup on tile: per tile, every local polygon fragment runs
+         the bbox prune + exact vectorized test (same numpy kernels as
+         pip_join, so results are identical by construction) against
+         the tile's point block.
+
+    At deployment scale the point side is the tile-aligned persisted
+    layout (zero home shuffle, like every other cogroup operator);
+    ``cover_zoom`` trades polygon-side fan-out against per-tile block
+    size exactly like the cell decomposition elsewhere."""
+    from .tiles import assign_tiles
+
+    test = point_in_convex if convex else point_in_polygon
+    frags = poly_tile_frags(polys, cover_zoom)
     pts = assign_tiles(points, cover_zoom, lon_col, lat_col).select(
         "tile", F.col(id_col).alias("id"),
         F.col(lon_col).alias("lon"), F.col(lat_col).alias("lat"),

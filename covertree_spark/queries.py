@@ -696,6 +696,99 @@ def sql_zonal_stats():
     return " UNION ALL ".join(parts)
 
 
+# one L1-ball (diamond) polygon per document: center = the doc's
+# derived (lon, lat), radius r = ((n_chars % 256) + 128) / 128 in
+# [1.0, 2.99] degrees (sized against the corpus geometry's ~4.8-degree
+# min pairwise L1 gap at sf0.01 so the pair graph is sparse but
+# non-empty at every gated scale) — every vertex coordinate is +/-
+# arithmetic on engine-shared doubles (no trig), so Spark and DuckDB
+# materialize bit-identical rings. This makes the polygon side a
+# DATA-SIZED table (one polygon per corpus row), not a fixture
+# dimension.
+_DIAMOND_R = "CAST((n_chars % 256) + 128 AS DOUBLE) / CAST(128 AS DOUBLE)"
+
+
+def _doc_diamonds(spark, sf_dir):
+    """(poly_id, xs, ys): the document-derived diamond polygon table
+    (planar lon/lat treatment, same convention as every PIP/tile
+    operator)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    cx, cy, r = F.expr(_LON_E), F.expr(_LAT_E), F.expr(_DIAMOND_R)
+    return docs.select(
+        F.col("doc_id").alias("poly_id"),
+        F.array(cx + r, cx, cx - r, cx).alias("xs"),
+        F.array(cy, cy + r, cy, cy - r).alias("ys"),
+    )
+
+
+def q_poly_overlap(spark, sf_dir):
+    """POLYGON-POLYGON spatial self-join over a data-sized polygon
+    table: pairs (a, b), a < b, of document diamonds whose rings
+    intersect (vertex even-odd containment either way, or a proper
+    edge crossing — operators/pip.py poly_overlap_join). Completes the
+    vector layer the reference lacks (SURVEY §2.9: reference is
+    points-only): point-point, point-polygon, polygon-raster, and now
+    polygon-polygon. Candidates come from a tile-cover equi-join
+    (complete: intersecting rings share a covering tile), the exact
+    predicate is one vectorized kernel per surviving pair."""
+    polys = _doc_diamonds(spark, sf_dir)
+    return pip.poly_overlap_join(polys, cover_zoom=6)
+
+
+def sql_poly_overlap():
+    """DuckDB oracle: the identical predicate evaluated generically
+    over vertex/edge CTEs (bbox prejoin with +1e-9 slack is a pure
+    candidate superset; every DECIDING expression matches the numpy
+    kernels' float64 op shapes term for term — segments_properly_cross
+    and point_in_polygon)."""
+    return f"""
+WITH p AS (
+  SELECT doc_id AS pid, {_LON_E} AS cx, {_LAT_E} AS cy, {_DIAMOND_R} AS r
+  FROM documents
+),
+v AS (
+  SELECT pid, 0 AS vid, cx + r AS x, cy AS y FROM p
+  UNION ALL SELECT pid, 1, cx, cy + r FROM p
+  UNION ALL SELECT pid, 2, cx - r, cy FROM p
+  UNION ALL SELECT pid, 3, cx, cy - r FROM p
+),
+e AS (
+  SELECT pid, cx + r AS x1, cy AS y1, cx AS x2, cy + r AS y2 FROM p
+  UNION ALL SELECT pid, cx, cy + r, cx - r, cy FROM p
+  UNION ALL SELECT pid, cx - r, cy, cx, cy - r FROM p
+  UNION ALL SELECT pid, cx, cy - r, cx + r, cy FROM p
+),
+cand AS (
+  SELECT a.pid AS a, b.pid AS b
+  FROM p a JOIN p b ON a.pid < b.pid
+   AND ABS(a.cx - b.cx) <= a.r + b.r + CAST(1e-9 AS DOUBLE)
+   AND ABS(a.cy - b.cy) <= a.r + b.r + CAST(1e-9 AS DOUBLE)
+),
+cr AS (
+  SELECT DISTINCT c.a, c.b
+  FROM cand c JOIN e ea ON ea.pid = c.a JOIN e eb ON eb.pid = c.b
+  WHERE ((ea.x2 - ea.x1) * (eb.y1 - ea.y1) - (ea.y2 - ea.y1) * (eb.x1 - ea.x1))
+      * ((ea.x2 - ea.x1) * (eb.y2 - ea.y1) - (ea.y2 - ea.y1) * (eb.x2 - ea.x1))
+      < CAST(0 AS DOUBLE)
+    AND ((eb.x2 - eb.x1) * (ea.y1 - eb.y1) - (eb.y2 - eb.y1) * (ea.x1 - eb.x1))
+      * ((eb.x2 - eb.x1) * (ea.y2 - eb.y1) - (eb.y2 - eb.y1) * (ea.x2 - eb.x1))
+      < CAST(0 AS DOUBLE)
+),
+vx AS (
+  SELECT c.a, c.b, v.pid AS vp, v.vid,
+         SUM(CASE WHEN ((e.y1 > v.y) <> (e.y2 > v.y))
+                   AND (v.x < e.x1 + (v.y - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1))
+             THEN 1 ELSE 0 END) AS nc
+  FROM cand c
+  JOIN v ON v.pid = c.a OR v.pid = c.b
+  JOIN e ON e.pid = CASE WHEN v.pid = c.a THEN c.b ELSE c.a END
+  GROUP BY c.a, c.b, v.pid, v.vid
+),
+vin AS (SELECT DISTINCT a, b FROM vx WHERE nc % 2 = 1)
+SELECT a, b FROM (SELECT a, b FROM cr UNION SELECT a, b FROM vin) _u
+"""
+
+
 def q_geo_hull(spark, sf_dir):
     """Convex hull of the corpus geometry — associative partial-hull
     reduce (operators/hull.py), partition-invariant by construction.
@@ -2512,6 +2605,7 @@ def catalog():
             sql_tile_poly_cover_concave(),
         ),
         "pip_table": (q_pip_table, sql_pip_table()),
+        "poly_overlap": (q_poly_overlap, sql_poly_overlap()),
         "zonal_stats": (q_zonal_stats, sql_zonal_stats()),
         "tile_poly_cover_table": (
             q_tile_poly_cover_table,
