@@ -160,3 +160,60 @@ def bfs_hops(
     return base.join(dist, "id", "left").select(
         "id", F.coalesce("hop", F.lit(-1)).cast("bigint").alias("hop")
     )
+
+
+def walk_mass(
+    edges: DataFrame,
+    nodes: DataFrame,
+    rounds: int = 3,
+    init: int = 1000,
+    id_col: str = "id",
+) -> DataFrame:
+    """INTEGER random-walk mass diffusion — the PageRank power
+    iteration with floor division instead of float splitting, so every
+    round is integer-exact and an ANSI-SQL oracle can replay it
+    bit-for-bit (float PageRank cannot cross engines exactly; this
+    carries the same structural signal: after ``rounds`` steps a
+    vertex's mass is the degree-weighted count of length-``rounds``
+    walks reaching it, the centrality a link-graph pipeline uses to
+    rank crawl frontiers).
+
+    Semantics: symmetrize the edge set (self-loops dropped), then
+    m_0(u) = init for every node; m_t(v) = sum over in-neighbors u of
+    (m_{t-1}(u) DIV deg(u)). Isolated vertices and leaked remainders
+    simply vanish — mass is NOT conserved (that's the documented,
+    exactly-reproducible rule).
+
+    Plan: ``rounds`` is a FIXED small constant (the oracle unrolls the
+    same rounds), each round one key-partitioned join + aggregate on
+    bigint ids; degrees computed once. No driver state, no iteration-
+    to-convergence (bounded plan depth by construction)."""
+    e = edges.select(
+        F.col("src").alias("s"), F.col("dst").alias("t")
+    ).where(F.col("s") != F.col("t"))
+    sym = (
+        e.union(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy("s").agg(F.count("*").alias("deg"))
+    # (s, t, deg(s)) computed ONCE; each round is then a single
+    # id-keyed join + aggregate against it
+    share_edges = sym.join(deg, "s").persist()
+    ids = nodes.select(F.col(id_col).alias("id"))
+    mass = ids.select("id", F.lit(int(init)).cast("bigint").alias("mass"))
+    for _ in range(int(rounds)):
+        mass = (
+            share_edges.join(mass, share_edges["s"] == mass["id"])
+            .select(
+                F.col("t").alias("nid"),
+                F.expr("mass div deg").alias("share"),
+            )
+            .groupBy("nid")
+            .agg(F.sum("share").alias("mass"))
+            .select(F.col("nid").alias("id"), "mass")
+        )
+    out = ids.join(mass, "id", "left").select(
+        "id", F.coalesce(F.col("mass"), F.lit(0)).cast("bigint").alias("mass")
+    )
+    return out

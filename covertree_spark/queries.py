@@ -1432,6 +1432,54 @@ def sql_extract_text():
     return "SELECT doc_id, text FROM documents"
 
 
+_HOST_MOD = 97  # hosts per corpus: prime, ~5 pages/host at sf0.01
+
+
+def q_host_stats(spark, sf_dir):
+    """Per-DOMAIN corpus profile over the input_hint page shape — the
+    per-host curation signal a crawl pipeline computes before any
+    content filter (hosts with high dup ratios or single-language
+    boilerplate get domain-level policies). The Spark side does the
+    real work of the shape: build each page's url (the input_hint
+    column), PARSE the host back out of the url string (split on '/'),
+    and aggregate per host; the oracle derives the host arithmetically
+    from doc_id — string-parse vs arithmetic is a genuine cross-check,
+    not the same expression twice. Integer/exact-string outputs only.
+    One hash-shuffle groupBy; count(DISTINCT text) shuffles the text
+    bytes — at real scale substitute sha2(text) exactly as
+    exact_dedup_groups documents."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % _HOST_MOD).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+        "lang",
+        "n_chars",
+    )
+    host = F.element_at(F.split(F.col("url"), "/"), 3)
+    return pages.groupBy(host.alias("host")).agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("text").alias("n_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def sql_host_stats():
+    return (
+        f"SELECT 'site' || CAST(doc_id % {_HOST_MOD} AS VARCHAR) || "
+        "'.example' AS host, count(*) AS n_pages, "
+        "count(DISTINCT text) AS n_texts, "
+        "count(DISTINCT lang) AS n_langs, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+        "FROM documents GROUP BY 1"
+    )
+
+
 # decontamination eval set: a deterministic slice of the corpus plays
 # the held-out benchmark (doc_id % DECON_MOD == 0); contamination =
 # exact text match OR >= DECON_PCT% of a doc's distinct 3-gram
@@ -2042,6 +2090,49 @@ def sql_geo_bfs_hops(hop_cap: int = 200):
     )
 
 
+WALK_ROUNDS = 3
+WALK_INIT = 1000
+
+
+def q_geo_walk_mass(spark, sf_dir):
+    """Integer random-walk mass after WALK_ROUNDS diffusion steps over
+    the epsilon-graph at GEO_CC_R — PageRank's power iteration with
+    floor division so every round is integer-exact in both engines
+    (operators/graph_metrics.py walk_mass). The link-analysis
+    centrality a crawl pipeline ranks frontiers with, here over the
+    spatial proximity graph; completes the graph-analytics trio
+    (triangles, BFS hops, walk centrality). Fixed round count ->
+    bounded plan depth; each round one bigint-keyed join + aggregate."""
+    from .operators.graph_metrics import walk_mass
+
+    pts, stats = _geo_points(spark, sf_dir)
+    edges = ball_self_join(pts, GEO_CC_R, d=3, stats=stats).select("src", "dst")
+    return walk_mass(edges, nodes=pts, rounds=WALK_ROUNDS, init=WALK_INIT)
+
+
+def sql_geo_walk_mass():
+    """DuckDB oracle: the same WALK_ROUNDS unrolled as chained CTEs;
+    `//` (DuckDB) and `div` (Spark) are both floor division on
+    non-negative BIGINTs, so every share is the identical integer."""
+    rounds = [
+        f"m{t} AS (SELECT e.t AS id, CAST(SUM(m{t-1}.mass // d.deg) AS BIGINT) AS mass "
+        f"FROM e JOIN deg d ON d.s = e.s JOIN m{t-1} ON m{t-1}.id = e.s "
+        "GROUP BY e.t)"
+        for t in range(1, WALK_ROUNDS + 1)
+    ]
+    return (
+        _PTS_CTE
+        + ", e AS (SELECT a.id AS s, b.id AS t FROM xyz a JOIN xyz b ON a.id <> b.id "
+        "WHERE sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z)) "
+        f"<= {GEO_CC_R!r}), "
+        "deg AS (SELECT s, count(*) AS deg FROM e GROUP BY s), "
+        f"m0 AS (SELECT id, CAST({WALK_INIT} AS BIGINT) AS mass FROM xyz), "
+        + ", ".join(rounds)
+        + f" SELECT x.id, CAST(coalesce(m{WALK_ROUNDS}.mass, 0) AS BIGINT) AS mass "
+        f"FROM xyz x LEFT JOIN m{WALK_ROUNDS} ON m{WALK_ROUNDS}.id = x.id"
+    )
+
+
 DBSCAN_MIN_PTS = 4  # at sf0.01/GEO_CC_R: 131 core, 21 border, 348 noise, 7 clusters
 
 
@@ -2619,6 +2710,7 @@ def catalog():
         "emb_neardup": (q_emb_neardup, sql_emb_neardup()),
         "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
         "extract_text": (q_extract_text, sql_extract_text()),
+        "host_stats": (q_host_stats, sql_host_stats()),
         "decontaminate": (q_decontaminate, sql_decontaminate()),
         "dataset_split": (q_dataset_split, sql_dataset_split()),
         "vocab_topk": (q_vocab_topk, sql_vocab_topk()),
@@ -2643,6 +2735,7 @@ def catalog():
         "geo_dbscan": (q_geo_dbscan, sql_geo_dbscan()),
         "geo_triangles": (q_geo_triangles, sql_geo_triangles()),
         "geo_bfs_hops": (q_geo_bfs_hops, sql_geo_bfs_hops()),
+        "geo_walk_mass": (q_geo_walk_mass, sql_geo_walk_mass()),
         "geo_rknn": (q_geo_rknn, sql_geo_rknn()),
         "geo_closest_pair": (q_geo_closest_pair, sql_geo_closest_pair()),
         "events_rollup": (q_events_rollup, sql_events_rollup()),
