@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "knn_regress",
     "tile_focal_sum",
     "tile_mode_resample",
+    "poly_overlap",
+    "geo_walk_mass",
+    "host_stats",
 ]
 
 

@@ -1445,9 +1445,10 @@ def q_host_stats(spark, sf_dir):
     and aggregate per host; the oracle derives the host arithmetically
     from doc_id — string-parse vs arithmetic is a genuine cross-check,
     not the same expression twice. Integer/exact-string outputs only.
-    One hash-shuffle groupBy; count(DISTINCT text) shuffles the text
-    bytes — at real scale substitute sha2(text) exactly as
-    exact_dedup_groups documents."""
+    One hash-shuffle groupBy; the distinct-text count groups on
+    sha2-256 of the text so the shuffle carries 32 bytes per text,
+    not the text (same zero-collision argument as exact_dedup_groups;
+    the oracle counts the raw strings and must agree)."""
     docs = src.load_table(spark, sf_dir, "documents")
     pages = docs.select(
         F.concat(
@@ -1463,7 +1464,7 @@ def q_host_stats(spark, sf_dir):
     host = F.element_at(F.split(F.col("url"), "/"), 3)
     return pages.groupBy(host.alias("host")).agg(
         F.count("*").alias("n_pages"),
-        F.countDistinct("text").alias("n_texts"),
+        F.countDistinct(F.sha2(F.col("text"), 256)).alias("n_texts"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum("n_chars").alias("sum_chars"),
     )
