@@ -177,3 +177,27 @@ def sql_haversine_km(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
         f"(floor({km} * CAST(1000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) "
         "/ CAST(1000 AS DOUBLE))"
     )
+
+
+def haversine_m_int(
+    lon1: np.ndarray, lat1: np.ndarray, lon2: np.ndarray, lat2: np.ndarray
+) -> np.ndarray:
+    """Great-circle distance as INTEGER metres (int64) — the summable
+    form: integer addition is order-free, so per-group totals cross
+    engines exactly where a float-km sum cannot. Derived from the
+    metre-quantized double haversine_km output (= K/1000 for integer
+    K): K/1000*1000 re-rounds within ~1e-8 of K, so the half-up floor
+    recovers K itself — both engines compute it from the identical
+    quantized double."""
+    km_q = haversine_km(lon1, lat1, lon2, lat2)
+    return np.floor(km_q * 1000.0 + 0.5).astype(np.int64)
+
+
+def sql_haversine_m_int(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """ANSI-SQL rendering of haversine_m_int (same derivation from the
+    same quantized double)."""
+    km_q = sql_haversine_km(lon1, lat1, lon2, lat2)
+    return (
+        f"CAST(floor({km_q} * CAST(1000 AS DOUBLE) + "
+        "CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )

@@ -140,3 +140,66 @@ def sessionize_single_window(
         user_col,
         F.sum(new_sess).over(wcum).cast("bigint").alias("sess"),
     )
+
+
+def consecutive_pairs(
+    events: DataFrame,
+    bucket_us: int,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(user_id, event_id, prev_id) for every event that HAS a
+    same-user predecessor under the (ts, id) order — the lag(1) /
+    trajectory-segment primitive, with the SAME hot-key-bounded
+    two-phase shape as ``sessionize``:
+
+      phase 1: a local lag inside each (user, time-bucket) window
+        resolves every event except each bucket's first; task size is
+        bounded by the largest single (user, bucket).
+      phase 2: ONE ROW PER (user, bucket) — the bucket's last
+        (us, id) — flows through a per-user window over bucket
+        summaries; lag over THAT gives the previous non-empty bucket's
+        last event, which globally precedes this bucket's first
+        (buckets partition time; ts ties share a bucket by
+        construction, so cross-bucket ties cannot occur).
+
+    Each user's globally-first event appears in no output row (it has
+    no predecessor) — same convention as SQL lag + IS NOT NULL."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = events.select(
+        F.col(id_col).alias("_eid"),
+        F.col(user_col).alias("_uid"),
+        us.alias("_us"),
+    ).withColumn("_bkt", F.floor(F.col("_us") / F.lit(int(bucket_us))))
+    w = Window.partitionBy("_uid", "_bkt").orderBy(
+        F.col("_us").asc(), F.col("_eid").asc()
+    )
+    loc = ev.select(
+        "*",
+        F.lag("_eid").over(w).alias("_peid"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    resolved = loc.filter(F.col("_peid").isNotNull()).select(
+        F.col("_uid").alias("user_id"),
+        F.col("_eid").alias("event_id"),
+        F.col("_peid").alias("prev_id"),
+    )
+    summ = ev.groupBy("_uid", "_bkt").agg(
+        F.max(F.struct(F.col("_us"), F.col("_eid"))).alias("_last")
+    )
+    ws = Window.partitionBy("_uid").orderBy(F.col("_bkt").asc())
+    carry = summ.select(
+        "_uid", "_bkt", F.lag("_last").over(ws).alias("_plast")
+    )
+    stitched = (
+        loc.filter(F.col("_rn") == 1)
+        .join(carry, ["_uid", "_bkt"])
+        .filter(F.col("_plast").isNotNull())
+        .select(
+            F.col("_uid").alias("user_id"),
+            F.col("_eid").alias("event_id"),
+            F.col("_plast._eid").alias("prev_id"),
+        )
+    )
+    return resolved.unionByName(stitched)

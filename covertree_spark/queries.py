@@ -27,7 +27,7 @@ from .core.polygons import (
     sql_convex_predicate,
 )
 from .functions import text as tx
-from .operators import dedup, pip, similarity, tiles
+from .operators import dedup, pip, sessions, similarity, tiles
 from .operators.ball_join import ball_self_join
 from .operators.knn import knn_over_index, knn_over_index_chain, knn_self_join
 from .operators.partition import (
@@ -2463,6 +2463,64 @@ def sql_events_sessionize():
     )
 
 
+TRAVEL_BUCKET_US = 21_600_000_000  # 6h: ~120 buckets over the fixture month
+
+
+def q_user_travel(spark, sf_dir):
+    """Per-user TRAVEL DISTANCE: each event carries a deterministic
+    ping location (the engine's shared id->lon/lat derivation); the
+    trajectory length is the sum of great-circle distances between
+    CONSECUTIVE events per user. The movement-analytics staple
+    (trajectory mileage / displacement per device) composed from three
+    engine disciplines: the hot-key-bounded lag
+    (sessions.consecutive_pairs — no task ever holds a full user
+    history), the op-order-mirrored haversine, and INTEGER-metre
+    segments (geometry.haversine_m_int) so the per-user sum is
+    order-free and exact in both engines — a float-km sum would
+    depend on reduction order and could never cross engines."""
+    import pandas as pd
+
+    ev = src.load_table(spark, sf_dir, "events")
+    pairs = sessions.consecutive_pairs(ev, bucket_us=TRAVEL_BUCKET_US)
+
+    def seg(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lon1, lat1 = geometry.lonlat_from_id(
+                pdf["prev_id"].to_numpy()
+            )
+            lon2, lat2 = geometry.lonlat_from_id(
+                pdf["event_id"].to_numpy()
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "m": geometry.haversine_m_int(lon1, lat1, lon2, lat2),
+                }
+            )
+
+    segs = pairs.mapInPandas(seg, schema="user_id bigint, m bigint")
+    return segs.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum("m").alias("total_m"),
+    )
+
+
+def sql_user_travel():
+    lon1, lat1 = geometry.sql_lonlat_exprs("prev_id")
+    lon2, lat2 = geometry.sql_lonlat_exprs("event_id")
+    m = geometry.sql_haversine_m_int(lon1, lat1, lon2, lat2)
+    return (
+        "WITH s AS (SELECT user_id, event_id, "
+        "lag(event_id) OVER (PARTITION BY user_id ORDER BY ts ASC, "
+        "event_id ASC) AS prev_id FROM events), "
+        f"p AS (SELECT user_id, {m} AS m FROM s WHERE prev_id IS NOT NULL) "
+        "SELECT user_id, count(*) AS n_segments, "
+        "CAST(sum(m) AS BIGINT) AS total_m FROM p GROUP BY user_id"
+    )
+
+
 def q_events_rollup(spark, sf_dir):
     """Hourly rollup over the events table: count + exact distinct
     users per (hour bucket, event_type). Timestamp bucketing + distinct
@@ -2741,6 +2799,7 @@ def catalog():
         "geo_closest_pair": (q_geo_closest_pair, sql_geo_closest_pair()),
         "events_rollup": (q_events_rollup, sql_events_rollup()),
         "events_sessionize": (q_events_sessionize, sql_events_sessionize()),
+        "user_travel": (q_user_travel, sql_user_travel()),
         "dedup_keep": (q_dedup_keep, sql_dedup_keep()),
         "dedup_norm": (q_dedup_norm, sql_dedup_norm()),
         "char_ngram_pairs": (q_char_ngram_pairs, sql_char_ngram_pairs()),
