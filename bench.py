@@ -105,6 +105,11 @@ BENCH_QUERIES = [
     "poly_overlap",
     "geo_walk_mass",
     "host_stats",
+    # trajectory analytics + sub-document dedup
+    "user_travel",
+    "user_trips",
+    "travel_speed",
+    "chunk_dedup",
 ]
 
 

@@ -149,9 +149,11 @@ def consecutive_pairs(
     user_col: str = "user_id",
     id_col: str = "event_id",
 ) -> DataFrame:
-    """(user_id, event_id, prev_id) for every event that HAS a
-    same-user predecessor under the (ts, id) order — the lag(1) /
-    trajectory-segment primitive, with the SAME hot-key-bounded
+    """(user_id, event_id, prev_id, us, prev_us) for every event that
+    HAS a same-user predecessor under the (ts, id) order — the lag(1)
+    / trajectory-segment primitive (``us`` = the event's microsecond
+    timestamp, ``prev_us`` = the predecessor's, so consumers get the
+    segment's time gap for free), with the SAME hot-key-bounded
     two-phase shape as ``sessionize``:
 
       phase 1: a local lag inside each (user, time-bucket) window
@@ -178,12 +180,15 @@ def consecutive_pairs(
     loc = ev.select(
         "*",
         F.lag("_eid").over(w).alias("_peid"),
+        F.lag("_us").over(w).alias("_pus"),
         F.row_number().over(w).alias("_rn"),
     )
     resolved = loc.filter(F.col("_peid").isNotNull()).select(
         F.col("_uid").alias("user_id"),
         F.col("_eid").alias("event_id"),
         F.col("_peid").alias("prev_id"),
+        F.col("_us").alias("us"),
+        F.col("_pus").alias("prev_us"),
     )
     summ = ev.groupBy("_uid", "_bkt").agg(
         F.max(F.struct(F.col("_us"), F.col("_eid"))).alias("_last")
@@ -200,6 +205,60 @@ def consecutive_pairs(
             F.col("_uid").alias("user_id"),
             F.col("_eid").alias("event_id"),
             F.col("_plast._eid").alias("prev_id"),
+            F.col("_us").alias("us"),
+            F.col("_plast._us").alias("prev_us"),
         )
     )
     return resolved.unionByName(stitched)
+
+
+def prefix_starts(
+    flagged: DataFrame,
+    bucket_us: int,
+    ts_us_col: str = "us",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    flag_col: str = "st",
+) -> DataFrame:
+    """Per-user prefix count of ``flag_col`` (0/1) under the (us, id)
+    order — the generalized sessionize final step for break flags
+    computed EXTERNALLY (e.g. trip segmentation, where a break depends
+    on the segment's great-circle jump, not just the time gap). Same
+    hot-key bound as ``sessionize``: no task holds a full user history,
+    only the largest (user, time-bucket) group. Unlike ``sessionize``
+    there is no bucket-boundary correction — the flags are final.
+
+    All other input columns pass through; adds ``trip`` (1-based,
+    assuming each user's first event is flagged 1)."""
+    bkt = F.floor(F.col(ts_us_col) / F.lit(int(bucket_us)))
+    loc = flagged.withColumn("_bkt", bkt)
+    w_local = Window.partitionBy(user_col, "_bkt").orderBy(
+        F.col(ts_us_col).asc(), F.col(id_col).asc()
+    )
+    loc = loc.withColumn(
+        "_lcum",
+        F.sum(flag_col).over(
+            w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    summ = loc.groupBy(user_col, "_bkt").agg(
+        F.sum(flag_col).alias("_starts")
+    )
+    w_user = Window.partitionBy(user_col).orderBy(F.col("_bkt").asc())
+    offsets = summ.select(
+        user_col,
+        "_bkt",
+        F.coalesce(
+            F.sum("_starts").over(
+                w_user.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    return (
+        loc.join(offsets, [user_col, "_bkt"])
+        .withColumn(
+            "trip", (F.col("_off") + F.col("_lcum")).cast("bigint")
+        )
+        .drop("_bkt", "_lcum", "_off")
+    )

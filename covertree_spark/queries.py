@@ -2521,6 +2521,216 @@ def sql_user_travel():
     )
 
 
+CHUNK_W = 3  # words per dedup chunk (C4/RefinedWeb dedup at line/para
+# granularity; the fixture text has no newlines, so the deterministic
+# segment is a fixed word window)
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """SUB-DOCUMENT dedup with byte-identical reassembly (the C4-style
+    line/paragraph dedup of webtext pipelines): each document splits
+    into fixed 3-word chunks; a chunk's FIRST occurrence corpus-wide
+    (by (doc_id, position)) is kept, every later occurrence — across
+    or within documents — is dropped; the surviving chunks rejoin in
+    document order. Pure JVM built-ins end-to-end (split/transform/
+    slice/posexplode; no Python in the path); the first-occurrence
+    choice is a single groupBy(chunk) min — map-side combinable, and
+    the only shuffle is chunk-keyed. Reassembly is per-doc bounded
+    (array_sort over a doc's own chunks), so no hot key exists.
+    Kept-chunk order is encoded as doc_id*2^20+pos (docs are far
+    shorter than 2^20 chunks), making "first" a single integer min."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nch = (F.size(words) + F.lit(CHUNK_W - 1)).cast("long") / F.lit(CHUNK_W)
+    nch = F.floor(nch).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * F.lit(CHUNK_W) + 1, CHUNK_W), " "
+        ),
+    )
+    ex = docs.select(
+        "doc_id", F.posexplode(chunks).alias("pos", "chunk")
+    ).withColumn(
+        "okey", F.col("doc_id") * F.lit(1048576) + F.col("pos")
+    )
+    first = ex.groupBy("chunk").agg(F.min("okey").alias("okey"))
+    kept = ex.join(first, ["chunk", "okey"])
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+
+
+def sql_chunk_dedup():
+    w = CHUNK_W
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "c AS (SELECT doc_id, i AS pos, "
+        f"array_to_string(ws[(i*{w}+1):(i*{w}+{w})], ' ') AS chunk "
+        f"FROM w, LATERAL unnest(range((len(ws)+{w - 1})//{w})) "
+        "AS t(i)), "
+        "k AS (SELECT chunk, min(doc_id * 1048576 + pos) AS okey "
+        "FROM c GROUP BY chunk), "
+        "kept AS (SELECT c.doc_id, c.pos, c.chunk FROM c JOIN k "
+        "ON c.chunk = k.chunk AND c.doc_id * 1048576 + c.pos = k.okey) "
+        "SELECT doc_id, count(*) AS n_kept, "
+        "string_agg(chunk, ' ' ORDER BY pos ASC) AS dedup_text "
+        "FROM kept GROUP BY doc_id"
+    )
+
+
+VMAX_MMPS = 1_000_000  # 1000 m/s: the plausible-motion ceiling (jet+)
+
+
+def q_travel_speed(spark, sf_dir):
+    """Per-user GPS-plausibility profile: each consecutive-ping
+    segment's speed as INTEGER mm/s (floor((metres*10^9)/gap_us) —
+    int64 floor division of two exactly-shared integers, so every
+    comparison and max is engine-exact with no float reduction
+    anywhere), counting segments above the plausible-motion ceiling
+    (the classic GPS-noise / teleport filter in trajectory cleaning).
+    Same hot-key-bounded pair primitive as user_travel."""
+    import pandas as pd
+
+    ev = src.load_table(spark, sf_dir, "events")
+    pairs = sessions.consecutive_pairs(ev, bucket_us=TRAVEL_BUCKET_US)
+
+    def seg(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lon1, lat1 = geometry.lonlat_from_id(pdf["prev_id"].to_numpy())
+            lon2, lat2 = geometry.lonlat_from_id(pdf["event_id"].to_numpy())
+            m = geometry.haversine_m_int(lon1, lat1, lon2, lat2)
+            # a same-microsecond pair (gap 0) is "infinite" speed;
+            # clamping to 1us keeps the integer division defined and
+            # still lands far above any plausibility ceiling
+            gap = np.maximum(
+                pdf["us"].to_numpy() - pdf["prev_us"].to_numpy(), 1
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "mmps": (m * 1_000_000_000) // gap,
+                }
+            )
+
+    segs = pairs.mapInPandas(seg, schema="user_id bigint, mmps bigint")
+    return segs.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(
+            (F.col("mmps") > F.lit(VMAX_MMPS)).cast("bigint")
+        ).alias("n_implausible"),
+        F.max("mmps").alias("max_mmps"),
+    )
+
+
+def sql_travel_speed():
+    lon1, lat1 = geometry.sql_lonlat_exprs("prev_id")
+    lon2, lat2 = geometry.sql_lonlat_exprs("event_id")
+    m = geometry.sql_haversine_m_int(lon1, lat1, lon2, lat2)
+    return (
+        "WITH s AS (SELECT user_id, event_id, "
+        "lag(event_id) OVER w AS prev_id, epoch_us(ts) AS us, "
+        "lag(epoch_us(ts)) OVER w AS prev_us FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, "
+        "event_id ASC)), "
+        f"p AS (SELECT user_id, ({m} * 1000000000) // "
+        "greatest(us - prev_us, 1) AS mmps FROM s "
+        "WHERE prev_id IS NOT NULL) "
+        "SELECT user_id, count(*) AS n_segments, "
+        f"CAST(sum(CASE WHEN mmps > {VMAX_MMPS} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_implausible, max(mmps) AS max_mmps "
+        "FROM p GROUP BY user_id"
+    )
+
+
+TRIP_GAP_US = 21_600_000_000  # 6h dwell ends a trip
+TRIP_JUMP_M = 9_000_000  # a 9000 km hop is a new trip, not a leg
+
+
+def q_user_trips(spark, sf_dir):
+    """SPATIOTEMPORAL trip segmentation: a user's event stream breaks
+    into trips at a long dwell (time gap > 6h) OR a discontinuity
+    (great-circle jump > 9000 km) — sessionization where the break
+    predicate needs the geometry, not just the clock. Per (user, trip):
+    leg count and integer-metre trip length. The trip index is a
+    per-user prefix sum of break flags computed with the same two-phase
+    bucket plan as sessionize (sessions.prefix_starts) — no task ever
+    holds a full user history, breaks are integer-exact comparisons on
+    engine-shared integers."""
+    import pandas as pd
+
+    ev = src.load_table(spark, sf_dir, "events")
+    pairs = sessions.consecutive_pairs(ev, bucket_us=TRAVEL_BUCKET_US)
+
+    def seg(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lon1, lat1 = geometry.lonlat_from_id(pdf["prev_id"].to_numpy())
+            lon2, lat2 = geometry.lonlat_from_id(pdf["event_id"].to_numpy())
+            m = geometry.haversine_m_int(lon1, lat1, lon2, lat2)
+            gap = pdf["us"].to_numpy() - pdf["prev_us"].to_numpy()
+            keep = (gap <= TRIP_GAP_US) & (m <= TRIP_JUMP_M)
+            yield pd.DataFrame(
+                {"event_id": pdf["event_id"][keep], "m": m[keep]}
+            )
+
+    # a leg = a consecutive pair that does NOT break; every other
+    # event (no predecessor, long dwell, or jump) starts a trip
+    legs = pairs.mapInPandas(seg, schema="event_id bigint, m bigint")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = (
+        ev.select("event_id", "user_id", us.alias("us"))
+        .join(legs, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "us",
+            F.coalesce("m", F.lit(0)).alias("seg_m"),
+            F.when(F.col("m").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("st"),
+        )
+    )
+    trips = sessions.prefix_starts(flagged, bucket_us=TRAVEL_BUCKET_US)
+    return trips.groupBy("user_id", "trip").agg(
+        F.count("*").alias("n_events"),
+        F.sum("seg_m").alias("trip_m"),
+    )
+
+
+def sql_user_trips():
+    lon1, lat1 = geometry.sql_lonlat_exprs("prev_id")
+    lon2, lat2 = geometry.sql_lonlat_exprs("event_id")
+    m = geometry.sql_haversine_m_int(lon1, lat1, lon2, lat2)
+    return (
+        "WITH s AS (SELECT user_id, event_id, ts, "
+        "lag(event_id) OVER w AS prev_id, epoch_us(ts) AS us, "
+        "lag(epoch_us(ts)) OVER w AS prev_us FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, "
+        "event_id ASC)), "
+        "f AS (SELECT user_id, event_id, ts, "
+        f"CASE WHEN prev_id IS NULL OR us - prev_us > {TRIP_GAP_US} "
+        f"OR {m} > {TRIP_JUMP_M} THEN NULL ELSE {m} END AS seg_m "
+        "FROM s), "
+        "t AS (SELECT user_id, seg_m, CAST(sum(CASE WHEN seg_m IS NULL "
+        "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts ASC, "
+        "event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS trip "
+        "FROM f) "
+        "SELECT user_id, trip, count(*) AS n_events, "
+        "CAST(coalesce(sum(seg_m), 0) AS BIGINT) AS trip_m "
+        "FROM t GROUP BY user_id, trip"
+    )
+
+
 def q_events_rollup(spark, sf_dir):
     """Hourly rollup over the events table: count + exact distinct
     users per (hour bucket, event_type). Timestamp bucketing + distinct
@@ -2800,7 +3010,10 @@ def catalog():
         "events_rollup": (q_events_rollup, sql_events_rollup()),
         "events_sessionize": (q_events_sessionize, sql_events_sessionize()),
         "user_travel": (q_user_travel, sql_user_travel()),
+        "travel_speed": (q_travel_speed, sql_travel_speed()),
+        "user_trips": (q_user_trips, sql_user_trips()),
         "dedup_keep": (q_dedup_keep, sql_dedup_keep()),
+        "chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
         "dedup_norm": (q_dedup_norm, sql_dedup_norm()),
         "char_ngram_pairs": (q_char_ngram_pairs, sql_char_ngram_pairs()),
         "bigrams": (q_bigrams, sql_bigrams()),
