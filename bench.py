@@ -110,6 +110,11 @@ BENCH_QUERIES = [
     "user_trips",
     "travel_speed",
     "chunk_dedup",
+    # co-location, geofences, postings build
+    "colocation_pairs",
+    "geofence_transitions",
+    "inverted_index",
+    "term_search",
 ]
 
 

@@ -2731,6 +2731,250 @@ def sql_user_trips():
     )
 
 
+COLOC_RES = 2  # 16 coarse proximity cells over the uniform fixture
+COLOC_BUCKET_US = 3_600_000_000  # 1 hour
+
+
+def q_colocation_pairs(spark, sf_dir):
+    """CO-LOCATION join: pairs of distinct users observed in the same
+    (cell, hour) bucket, with how many buckets they shared — the
+    proximity/contact analytics staple. Pure JVM end-to-end: the cell
+    id is the engine's shared SQL codec over the ping's derived
+    lon/lat, the hour is integer division (DIV) of shared microsecond
+    timestamps, so every bucket decision is engine-exact. The distinct
+    collapses a user's repeat pings per bucket BEFORE the self-join,
+    so the pair explosion is quadratic only in distinct-users-per-
+    bucket — the quantity a production deploy caps (drop buckets above
+    a crowd threshold); cells are coarse here because the fixture is
+    globally uniform, real data picks res so buckets stay small."""
+    ev = src.load_table(spark, sf_dir, "events")
+    lon_e, lat_e = geometry.sql_lonlat_exprs("event_id")
+    cell = cellcodec.sql_cell_expr(lon_e, lat_e, COLOC_RES)
+    obs = ev.select(
+        "user_id",
+        F.expr(cell).alias("cell"),
+        F.expr(
+            f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {COLOC_BUCKET_US}"
+        ).alias("hr"),
+    ).distinct()
+    o1 = obs.select(F.col("user_id").alias("u1"), "cell", "hr")
+    o2 = obs.select(F.col("user_id").alias("u2"), "cell", "hr")
+    pairs = o1.join(o2, ["cell", "hr"]).filter(F.col("u1") < F.col("u2"))
+    return pairs.groupBy("u1", "u2").agg(F.count("*").alias("n_buckets"))
+
+
+def sql_colocation_pairs():
+    lon_e, lat_e = geometry.sql_lonlat_exprs("event_id")
+    cell = cellcodec.sql_cell_expr(lon_e, lat_e, COLOC_RES)
+    return (
+        f"WITH o AS (SELECT DISTINCT user_id, {cell} AS cell, "
+        f"epoch_us(ts) // {COLOC_BUCKET_US} AS hr FROM events) "
+        "SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS n_buckets "
+        "FROM o a JOIN o b ON a.cell = b.cell AND a.hr = b.hr "
+        "AND a.user_id < b.user_id GROUP BY 1, 2"
+    )
+
+
+def q_geofence_transitions(spark, sf_dir):
+    """GEOFENCE entry/exit detection: for every consecutive ping pair
+    per user, emit a row per polygon whose inside/outside state
+    FLIPPED between the two pings (entered = 1 when the new ping is
+    inside). The trajectory x polygon composition: the hot-key-bounded
+    pair primitive (sessions.consecutive_pairs) feeds one vectorized
+    mapInPandas pass that tests BOTH endpoints against the broadcast
+    fence set with a bbox prune first (a transition needs >=1 endpoint
+    inside, and inside implies in-bbox). Even-odd crossing arithmetic
+    is op-order-identical to the SQL oracle's rendering, so inside
+    decisions are bit-equal in both engines; at fence-table scale the
+    pair stream cogroups against pip.poly_tile_frags instead of the
+    broadcast (same plan as pip_table)."""
+    import pandas as pd
+
+    from .core.polygons import point_in_polygon
+
+    ev = src.load_table(spark, sf_dir, "events")
+    pairs = sessions.consecutive_pairs(ev, bucket_us=TRAVEL_BUCKET_US)
+    bundles = [
+        (np.asarray(p, dtype=np.float64),
+         (p[:, 0].min(), p[:, 0].max(), p[:, 1].min(), p[:, 1].max()))
+        for p in PIP_ALL_POLYS
+    ]
+    bc = spark.sparkContext.broadcast(bundles)
+
+    def run(batches):
+        bs = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lon1, lat1 = geometry.lonlat_from_id(pdf["prev_id"].to_numpy())
+            lon2, lat2 = geometry.lonlat_from_id(pdf["event_id"].to_numpy())
+            uid = pdf["user_id"].to_numpy()
+            eid = pdf["event_id"].to_numpy()
+            out = []
+            for pid, (poly, (x0, x1, y0, y1)) in enumerate(bs):
+                cand = (
+                    ((lon1 >= x0) & (lon1 <= x1) & (lat1 >= y0) & (lat1 <= y1))
+                    | ((lon2 >= x0) & (lon2 <= x1) & (lat2 >= y0) & (lat2 <= y1))
+                )
+                if not cand.any():
+                    continue
+                was = point_in_polygon(lon1[cand], lat1[cand], poly)
+                now = point_in_polygon(lon2[cand], lat2[cand], poly)
+                flip = was != now
+                if not flip.any():
+                    continue
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": uid[cand][flip],
+                            "event_id": eid[cand][flip],
+                            "poly_id": np.full(
+                                int(flip.sum()), pid, dtype=np.int64
+                            ),
+                            "entered": now[flip].astype(np.int64),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return pairs.mapInPandas(
+        run,
+        schema="user_id bigint, event_id bigint, poly_id bigint, entered bigint",
+    )
+
+
+def sql_geofence_transitions():
+    lon_p, lat_p = geometry.sql_lonlat_exprs("prev_id")
+    lon_c, lat_c = geometry.sql_lonlat_exprs("event_id")
+    parts = []
+    for pid, poly in enumerate(PIP_ALL_POLYS):
+        pred_p = sql_concave_predicate(lon_p, lat_p, poly)
+        pred_c = sql_concave_predicate(lon_c, lat_c, poly)
+        parts.append(
+            f"SELECT user_id, event_id, CAST({pid} AS BIGINT) AS poly_id, "
+            f"CAST(CASE WHEN {pred_c} THEN 1 ELSE 0 END AS BIGINT) AS entered "
+            f"FROM p WHERE ({pred_c}) <> ({pred_p})"
+        )
+    return (
+        "WITH s AS (SELECT user_id, event_id, lag(event_id) OVER "
+        "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_id "
+        "FROM events), "
+        "p AS (SELECT user_id, event_id, prev_id FROM s "
+        "WHERE prev_id IS NOT NULL) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+POSTING_BUCKET = 64  # docs per posting-list shard (phase-1 task bound)
+
+
+def q_inverted_index(spark, sf_dir):
+    """INVERTED INDEX build (the web-search core): term -> document
+    frequency, total occurrences, and the full position-annotated
+    posting list "doc:pos,doc:pos,..." in (doc_id, pos) order. Built
+    in the engine's two-phase hot-key shape: phase 1 aggregates per
+    (term, doc-bucket) — each task's collect_list is bounded by one
+    bucket's tokens, and df sums exactly across buckets because
+    buckets partition doc space — phase 2 stitches O(#buckets) partial
+    strings per term in bucket order. A stopword's final string is
+    O(its postings) by definition; at scale the phase-1 output IS the
+    sharded index a search engine stores, and this read-off exists for
+    the oracle comparison. Pure JVM built-ins (split/posexplode/
+    array_sort/transform/concat) — no Python anywhere."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term")
+    ).withColumn("bkt", F.expr(f"doc_id DIV {POSTING_BUCKET}"))
+    part = toks.groupBy("term", "bkt").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "pos"))),
+                lambda s: F.concat(
+                    s["doc_id"].cast("string"),
+                    F.lit(":"),
+                    s["pos"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("plist"),
+    )
+    return part.groupBy("term").agg(
+        F.sum("tf").alias("tf"),
+        F.sum("df").alias("df"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bkt", "plist"))),
+                lambda s: s["plist"],
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+def sql_inverted_index():
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "t AS (SELECT doc_id, i AS pos, ws[i+1] AS term FROM w, "
+        "LATERAL unnest(range(len(ws))) AS t(i)) "
+        "SELECT term, count(*) AS tf, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS df, "
+        "string_agg(doc_id || ':' || pos, ',' "
+        "ORDER BY doc_id ASC, pos ASC) AS postings "
+        "FROM t GROUP BY term"
+    )
+
+
+QUERY_TERMS = ("scan", "join", "window")  # fixture vocab is fixed (31
+# tokens at every sf), so literal query terms are scale-stable
+SEARCH_K = 100
+
+
+def q_term_search(spark, sf_dir):
+    """CONJUNCTIVE TERM SEARCH — the inverted index's read side: docs
+    containing ALL query terms, ranked by total query-term occurrences
+    (integer tf, doc_id tiebreak), top-K. Logically a postings-list
+    intersection; relationally it is a term-IN filter Catalyst pushes
+    into the scan, one doc-keyed aggregate (count distinct term = the
+    AND), and a TakeOrderedAndProject top-K (per-partition K-row heaps
+    + driver merge — never a global sort). At index-at-rest scale the
+    same plan starts from the phase-1 posting shards of
+    q_inverted_index (equi-join on term) instead of re-tokenizing."""
+    from pyspark.sql import Window
+
+    docs = src.load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term").isin(*QUERY_TERMS))
+    m = toks.groupBy("doc_id").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("term").alias("nt"),
+    ).filter(F.col("nt") == len(QUERY_TERMS))
+    top = m.orderBy(F.col("tf").desc(), F.col("doc_id").asc()).limit(SEARCH_K)
+    w = Window.orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"), "doc_id", "tf"
+    )
+
+
+def sql_term_search():
+    terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "t AS (SELECT doc_id, unnest(ws) AS term FROM w), "
+        "m AS (SELECT doc_id, count(*) AS tf, "
+        "count(DISTINCT term) AS nt FROM t "
+        f"WHERE term IN ({terms}) GROUP BY doc_id) "
+        "SELECT CAST(row_number() OVER (ORDER BY tf DESC, doc_id ASC) "
+        "AS BIGINT) AS rank, doc_id, tf FROM m "
+        f"WHERE nt = {len(QUERY_TERMS)} QUALIFY rank <= {SEARCH_K}"
+    )
+
+
 def q_events_rollup(spark, sf_dir):
     """Hourly rollup over the events table: count + exact distinct
     users per (hour bucket, event_type). Timestamp bucketing + distinct
@@ -3012,6 +3256,13 @@ def catalog():
         "user_travel": (q_user_travel, sql_user_travel()),
         "travel_speed": (q_travel_speed, sql_travel_speed()),
         "user_trips": (q_user_trips, sql_user_trips()),
+        "colocation_pairs": (q_colocation_pairs, sql_colocation_pairs()),
+        "geofence_transitions": (
+            q_geofence_transitions,
+            sql_geofence_transitions(),
+        ),
+        "inverted_index": (q_inverted_index, sql_inverted_index()),
+        "term_search": (q_term_search, sql_term_search()),
         "dedup_keep": (q_dedup_keep, sql_dedup_keep()),
         "chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
         "dedup_norm": (q_dedup_norm, sql_dedup_norm()),
