@@ -203,3 +203,97 @@ def stateful_cell_profile(pts: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_geofence(
+    events: DataFrame,
+    polys: list,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CUSTOM stateful operator: streaming GEOFENCE transition
+    detection — the incremental form of queries.q_geofence_transitions.
+    State per user is two integers (last event micros, last event id):
+    O(#users) state; each micro-batch tests only its own consecutive
+    pairs (the state supplies the cross-batch predecessor), bbox-pruned
+    even-odd against the fence set exactly like the batch kernel, so
+    every transition is emitted exactly once. Same in-order-logs
+    contract as stream_sessionize (per-user times nondecreasing across
+    micro-batches); parity vs the batch operator is a pytest. ``polys``
+    rides the closure — fences are a broadcast-sized dimension here;
+    a fence TABLE streams through the cogrouped pip_join_table plan
+    instead."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..core.polygons import point_in_polygon
+
+    bundles = [
+        (np.asarray(p, dtype=np.float64),
+         (p[:, 0].min(), p[:, 0].max(), p[:, 1].min(), p[:, 1].max()))
+        for p in polys
+    ]
+
+    ev = events.select(
+        F.col(id_col).alias("event_id"),
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    )
+    out_schema = "user_id bigint, event_id bigint, poly_id bigint, entered bigint"
+    state_schema = "last_us bigint, last_eid bigint"
+
+    def update_fn(key, pdfs, state):
+        last_us, last_eid = state.get if state.exists else (0, -1)
+        uid = int(key[0])
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["_us", "event_id"], kind="stable")
+            eids = pdf["event_id"].to_numpy(dtype=np.int64)
+            prev = np.empty_like(eids)
+            prev[0] = last_eid
+            prev[1:] = eids[:-1]
+            last_eid = int(eids[-1])
+            last_us = int(pdf["_us"].iloc[-1])
+            valid = prev >= 0
+            if not valid.any():
+                continue
+            cur, pre = eids[valid], prev[valid]
+            lon1, lat1 = geometry.lonlat_from_id(pre)
+            lon2, lat2 = geometry.lonlat_from_id(cur)
+            out = []
+            for pid, (poly, (x0, x1, y0, y1)) in enumerate(bundles):
+                cand = (
+                    ((lon1 >= x0) & (lon1 <= x1) & (lat1 >= y0) & (lat1 <= y1))
+                    | ((lon2 >= x0) & (lon2 <= x1) & (lat2 >= y0) & (lat2 <= y1))
+                )
+                if not cand.any():
+                    continue
+                was = point_in_polygon(lon1[cand], lat1[cand], poly)
+                now = point_in_polygon(lon2[cand], lat2[cand], poly)
+                flip = was != now
+                if not flip.any():
+                    continue
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": np.full(int(flip.sum()), uid, dtype=np.int64),
+                            "event_id": cur[cand][flip],
+                            "poly_id": np.full(int(flip.sum()), pid, dtype=np.int64),
+                            "entered": now[flip].astype(np.int64),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+        state.update((last_us, last_eid))
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -288,3 +288,56 @@ def test_stream_knn_matches_batch_and_bruteforce(spark, tmp_path):
         spark, qstream, trees, stats, dst, str(tmp_path / "ck_knn"), k=k, d=3
     )
     assert tup(read_stream_knn_results(spark, dst)) == sorted(expected)
+
+
+def test_stream_geofence_matches_batch(spark, tmp_path):
+    """Streaming geofence transitions (applyInPandasWithState, two
+    ints of state per user) drained over time-ordered micro-batches
+    equals the batch operator row-for-row on the real events fixture."""
+    import os
+
+    from covertree_spark.queries import PIP_ALL_POLYS, q_geofence_transitions
+    from covertree_spark.streaming.ingest import stream_geofence
+    from tests.conftest import SF_TINY
+
+    src = str(tmp_path / "evsrc")
+    os.makedirs(src)
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    step = (len(pdf) + 3) // 4
+    now = 1_700_000_000
+    for i in range(4):
+        p = os.path.join(src, f"chunk{i:03d}.parquet")
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    batch_ev = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch_ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_geofence(stream, PIP_ALL_POLYS)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fence_sink")
+        .option("checkpointLocation", str(tmp_path / "ck_fence"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, event_id, poly_id, entered FROM fence_sink"
+        ).collect()
+    }
+    want = {
+        tuple(r) for r in q_geofence_transitions(spark, SF_TINY).collect()
+    }
+    assert got == want
+    assert len(want) > 0
