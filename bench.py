@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "geofence_transitions",
     "inverted_index",
     "term_search",
+    "od_matrix",
+    "geofence_dwell",
 ]
 
 

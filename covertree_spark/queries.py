@@ -2928,6 +2928,145 @@ def sql_inverted_index():
     )
 
 
+OD_RES = 2  # origin/destination cells (coarse: fixture pings are global)
+
+
+def q_od_matrix(spark, sf_dir):
+    """ORIGIN-DESTINATION flow matrix — the movement-analytics
+    aggregate (transit planning / flow maps): counts of consecutive-
+    ping transitions from cell A to cell B, self-flows excluded, with
+    distinct-user counts per flow. Composition is entirely engine
+    primitives: the hot-key-bounded pair stream
+    (sessions.consecutive_pairs) -> the shared SQL cell codec applied
+    to BOTH endpoints (pure JVM expressions on the pair frame — no
+    Python) -> one (src,dst)-keyed aggregate, map-side combinable.
+    The matrix is at most (4^res)^2 cells — broadcast-sized output at
+    any input scale."""
+    ev = src.load_table(spark, sf_dir, "events")
+    pairs = sessions.consecutive_pairs(ev, bucket_us=TRAVEL_BUCKET_US)
+    lon_p, lat_p = geometry.sql_lonlat_exprs("prev_id")
+    lon_c, lat_c = geometry.sql_lonlat_exprs("event_id")
+    c1 = cellcodec.sql_cell_expr(lon_p, lat_p, OD_RES)
+    c2 = cellcodec.sql_cell_expr(lon_c, lat_c, OD_RES)
+    flows = pairs.select(
+        "user_id",
+        F.expr(c1).alias("src_cell"),
+        F.expr(c2).alias("dst_cell"),
+    ).filter(F.col("src_cell") != F.col("dst_cell"))
+    return flows.groupBy("src_cell", "dst_cell").agg(
+        F.count("*").alias("n_trips"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def sql_od_matrix():
+    lon_p, lat_p = geometry.sql_lonlat_exprs("prev_id")
+    lon_c, lat_c = geometry.sql_lonlat_exprs("event_id")
+    c1 = cellcodec.sql_cell_expr(lon_p, lat_p, OD_RES)
+    c2 = cellcodec.sql_cell_expr(lon_c, lat_c, OD_RES)
+    return (
+        "WITH s AS (SELECT user_id, event_id, lag(event_id) OVER "
+        "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_id "
+        "FROM events), "
+        f"f AS (SELECT user_id, {c1} AS src_cell, {c2} AS dst_cell "
+        "FROM s WHERE prev_id IS NOT NULL) "
+        "SELECT src_cell, dst_cell, count(*) AS n_trips, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM f WHERE src_cell <> dst_cell GROUP BY 1, 2"
+    )
+
+
+def q_geofence_dwell(spark, sf_dir):
+    """Per-(user, fence) DWELL TIME: total integer microseconds spent
+    inside each geofence, counting a consecutive-ping gap when BOTH
+    endpoints are inside (the conservative interval rule — no
+    interpolation across the boundary). Integer gap sums are order-
+    free, so the per-(user, fence) total is engine-exact. Same pair
+    stream + broadcast fence kernel as geofence_transitions; the two
+    PIP tests per pair are shared across all fences via the bbox
+    prune."""
+    import pandas as pd
+
+    from .core.polygons import point_in_polygon
+
+    ev = src.load_table(spark, sf_dir, "events")
+    pairs = sessions.consecutive_pairs(ev, bucket_us=TRAVEL_BUCKET_US)
+    bundles = [
+        (np.asarray(p, dtype=np.float64),
+         (p[:, 0].min(), p[:, 0].max(), p[:, 1].min(), p[:, 1].max()))
+        for p in PIP_ALL_POLYS
+    ]
+    bc = spark.sparkContext.broadcast(bundles)
+
+    def run(batches):
+        bs = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lon1, lat1 = geometry.lonlat_from_id(pdf["prev_id"].to_numpy())
+            lon2, lat2 = geometry.lonlat_from_id(pdf["event_id"].to_numpy())
+            uid = pdf["user_id"].to_numpy()
+            gap = pdf["us"].to_numpy() - pdf["prev_us"].to_numpy()
+            out = []
+            for pid, (poly, (x0, x1, y0, y1)) in enumerate(bs):
+                both = (
+                    (lon1 >= x0) & (lon1 <= x1) & (lat1 >= y0) & (lat1 <= y1)
+                    & (lon2 >= x0) & (lon2 <= x1) & (lat2 >= y0) & (lat2 <= y1)
+                )
+                if not both.any():
+                    continue
+                inside = point_in_polygon(lon1[both], lat1[both], poly)
+                inside &= point_in_polygon(lon2[both], lat2[both], poly)
+                if not inside.any():
+                    continue
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": uid[both][inside],
+                            "poly_id": np.full(
+                                int(inside.sum()), pid, dtype=np.int64
+                            ),
+                            "gap_us": gap[both][inside],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    segs = pairs.mapInPandas(
+        run, schema="user_id bigint, poly_id bigint, gap_us bigint"
+    )
+    return segs.groupBy("user_id", "poly_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("gap_us").alias("dwell_us"),
+    )
+
+
+def sql_geofence_dwell():
+    lon_p, lat_p = geometry.sql_lonlat_exprs("prev_id")
+    lon_c, lat_c = geometry.sql_lonlat_exprs("event_id")
+    parts = []
+    for pid, poly in enumerate(PIP_ALL_POLYS):
+        pred_p = sql_concave_predicate(lon_p, lat_p, poly)
+        pred_c = sql_concave_predicate(lon_c, lat_c, poly)
+        parts.append(
+            f"SELECT user_id, CAST({pid} AS BIGINT) AS poly_id, gap_us "
+            f"FROM p WHERE ({pred_p}) AND ({pred_c})"
+        )
+    return (
+        "WITH s AS (SELECT user_id, event_id, lag(event_id) OVER w AS "
+        "prev_id, epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, "
+        "event_id ASC)), "
+        "p AS (SELECT user_id, event_id, prev_id, gap_us FROM s "
+        "WHERE prev_id IS NOT NULL), "
+        "d AS (" + " UNION ALL ".join(parts) + ") "
+        "SELECT user_id, poly_id, count(*) AS n_intervals, "
+        "CAST(sum(gap_us) AS BIGINT) AS dwell_us "
+        "FROM d GROUP BY user_id, poly_id"
+    )
+
+
 QUERY_TERMS = ("scan", "join", "window")  # fixture vocab is fixed (31
 # tokens at every sf), so literal query terms are scale-stable
 SEARCH_K = 100
@@ -3263,6 +3402,8 @@ def catalog():
         ),
         "inverted_index": (q_inverted_index, sql_inverted_index()),
         "term_search": (q_term_search, sql_term_search()),
+        "od_matrix": (q_od_matrix, sql_od_matrix()),
+        "geofence_dwell": (q_geofence_dwell, sql_geofence_dwell()),
         "dedup_keep": (q_dedup_keep, sql_dedup_keep()),
         "chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
         "dedup_norm": (q_dedup_norm, sql_dedup_norm()),
