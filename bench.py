@@ -117,6 +117,12 @@ BENCH_QUERIES = [
     "term_search",
     "od_matrix",
     "geofence_dwell",
+    # mobility analytics: dispersion, stays, direction, bursts, co-visits
+    "user_rog",
+    "stay_points",
+    "bearing_hist",
+    "cell_bursts",
+    "covisit_pairs",
 ]
 
 

@@ -88,6 +88,34 @@ def sql_lonlat_exprs(id_col: str) -> tuple[str, str]:
     return lon, lat
 
 
+def lonlat_units_from_id(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """16-bit INTEGER lattice coordinates (ux, uy) of a ping — the
+    top 16 bits of the same lon/lat hashes (ux = h1 >> 16, in
+    [0, 65536); one unit = 360/65536 deg of lon ~ 611 m at the
+    equator). Pure integers, so per-group sums of units and squared
+    units are ORDER-FREE and engine-exact — the summable form of a
+    location that float lon/lat can never give (sums of doubles
+    depend on reduction order). Moment magnitudes: ux^2 < 2^32, so
+    int64 per-user sums are safe to ~2^31 events per user."""
+    ids = np.asarray(ids, dtype=np.int64)
+    return (
+        _hash32(ids, _LON_MULT) >> 16,
+        _hash32(ids + 1, _LAT_MULT) >> 16,
+    )
+
+
+def sql_lonlat_units(id_col: str) -> tuple[str, str]:
+    """ANSI-SQL rendering of lonlat_units_from_id: the shift is the
+    exact power-of-two double division _sql_hash32 already relies on
+    (the dividend is < 2^32, integral in float64; floor+CAST is
+    engine-agnostic)."""
+    h1 = _sql_hash32(id_col, _LON_MULT)
+    h2 = _sql_hash32(f"({id_col} + 1)", _LAT_MULT)
+    ux = f"CAST(floor(({h1}) / CAST(65536 AS DOUBLE)) AS BIGINT)"
+    uy = f"CAST(floor(({h2}) / CAST(65536 AS DOUBLE)) AS BIGINT)"
+    return ux, uy
+
+
 def lonlat_to_xyz(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
     """Unit-sphere embedding, shape (n, 3), float64."""
     lon_r = np.radians(np.asarray(lon, dtype=np.float64))

@@ -3067,6 +3067,349 @@ def sql_geofence_dwell():
     )
 
 
+ROG_MAX_USER_EVENTS = 1 << 31  # int64 safety bound for the moment sums
+
+
+def q_user_rog(spark, sf_dir):
+    """RADIUS-OF-GYRATION sufficient statistics per user (Gonzalez et
+    al., Nature 453:779 — THE human-mobility dispersion metric): exact
+    integer moments (n, Σux, Σuy, Σux², Σuy²) of each user's pings on
+    the 16-bit location lattice (geometry.lonlat_units_from_id — one
+    unit ≈ 611 m of longitude at the equator). RoG² in lattice units
+    is (n·(Σux²+Σuy²) − (Σux)² − (Σuy)²) / n² — that final combine is
+    left to the consumer (it needs 128-bit/decimal headroom for a
+    10^8-event bot; the MOMENTS themselves are int64-safe to 2^31
+    events per user since ux² < 2^32). Integer sums are order-free,
+    so every statistic is engine-exact; the plan is ONE map-side-
+    combinable aggregate — no windows, no hot-key risk at any user
+    cardinality."""
+    ux, uy = geometry.sql_lonlat_units("event_id")
+    ev = src.load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", F.expr(ux).alias("ux"), F.expr(uy).alias("uy")
+    )
+    return pts.groupBy("user_id").agg(
+        F.count("*").alias("n_pings"),
+        F.sum("ux").alias("sx"),
+        F.sum("uy").alias("sy"),
+        F.sum(F.col("ux") * F.col("ux")).alias("sxx"),
+        F.sum(F.col("uy") * F.col("uy")).alias("syy"),
+    )
+
+
+def sql_user_rog():
+    ux, uy = geometry.sql_lonlat_units("event_id")
+    return (
+        f"WITH u AS (SELECT user_id, {ux} AS ux, {uy} AS uy FROM events) "
+        "SELECT user_id, count(*) AS n_pings, "
+        "CAST(sum(ux) AS BIGINT) AS sx, CAST(sum(uy) AS BIGINT) AS sy, "
+        "CAST(sum(ux * ux) AS BIGINT) AS sxx, "
+        "CAST(sum(uy * uy) AS BIGINT) AS syy "
+        "FROM u GROUP BY user_id"
+    )
+
+
+STAY_RES = 2  # stay cell (~10^7 m^2 at res 2 over the global fixture)
+STAY_GAP_US = 43_200_000_000  # 12 h: a longer silence breaks the stay
+STAY_MIN_DWELL_US = 3_600_000_000  # 1 h minimum dwell to qualify
+
+
+def q_stay_points(spark, sf_dir):
+    """STAY-POINT detection (Li et al., GIS'08): maximal runs of
+    consecutive same-cell pings with no intra-run silence over 12 h;
+    a run is a stay if it spans >= 2 pings and >= 1 h of dwell.
+    Composition is entirely engine primitives — the hot-key-bounded
+    pair stream (sessions.consecutive_pairs), the shared SQL cell
+    codec on BOTH endpoints (pure JVM), break flags, and the same
+    two-phase prefix sum as trip segmentation (sessions.prefix_starts)
+    — so no task ever holds a full user history. Dwell is an integer
+    microsecond difference of engine-shared integers: exact."""
+    ev = src.load_table(spark, sf_dir, "events")
+    pairs = sessions.consecutive_pairs(ev, bucket_us=TRAVEL_BUCKET_US)
+    lon_p, lat_p = geometry.sql_lonlat_exprs("prev_id")
+    lon_c, lat_c = geometry.sql_lonlat_exprs("event_id")
+    c_prev = cellcodec.sql_cell_expr(lon_p, lat_p, STAY_RES)
+    c_cur = cellcodec.sql_cell_expr(lon_c, lat_c, STAY_RES)
+    cont = pairs.select(
+        "event_id",
+        F.when(
+            (F.expr(c_prev) == F.expr(c_cur))
+            & ((F.col("us") - F.col("prev_us")) <= F.lit(STAY_GAP_US)),
+            F.lit(0),
+        ).otherwise(F.lit(1)).alias("st"),
+    )
+    lon_e, lat_e = geometry.sql_lonlat_exprs("event_id")
+    cell_e = cellcodec.sql_cell_expr(lon_e, lat_e, STAY_RES)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    flagged = (
+        ev.select(
+            "event_id", "user_id", us.alias("us"),
+            F.expr(cell_e).alias("cell"),
+        )
+        .join(cont, "event_id", "left")
+        .withColumn("st", F.coalesce("st", F.lit(1)))
+    )
+    runs = sessions.prefix_starts(flagged, bucket_us=TRAVEL_BUCKET_US)
+    return (
+        runs.groupBy("user_id", "trip")
+        .agg(
+            F.min("cell").alias("stay_cell"),  # constant within a run
+            F.count("*").alias("n_pings"),
+            F.min("us").alias("enter_us"),
+            (F.max("us") - F.min("us")).alias("dwell_us"),
+        )
+        .filter(
+            (F.col("n_pings") >= 2)
+            & (F.col("dwell_us") >= F.lit(STAY_MIN_DWELL_US))
+        )
+        .select("user_id", "stay_cell", "n_pings", "enter_us", "dwell_us")
+    )
+
+
+def sql_stay_points():
+    lon, lat = geometry.sql_lonlat_exprs("event_id")
+    c = cellcodec.sql_cell_expr(lon, lat, STAY_RES)
+    return (
+        f"WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, "
+        f"{c} AS cell FROM events), "
+        "s AS (SELECT user_id, event_id, us, cell, "
+        "lag(cell) OVER w AS pcell, lag(us) OVER w AS pus FROM e "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, "
+        "event_id ASC)), "
+        "f AS (SELECT user_id, event_id, us, cell, CASE WHEN pcell = "
+        f"cell AND us - pus <= {STAY_GAP_US} THEN 0 ELSE 1 END AS st "
+        "FROM s), "
+        "t AS (SELECT user_id, us, cell, sum(st) OVER "
+        "(PARTITION BY user_id ORDER BY us ASC, event_id ASC ROWS "
+        "UNBOUNDED PRECEDING) AS run FROM f) "
+        "SELECT user_id, min(cell) AS stay_cell, count(*) AS n_pings, "
+        "CAST(min(us) AS BIGINT) AS enter_us, "
+        "CAST(max(us) - min(us) AS BIGINT) AS dwell_us "
+        "FROM t GROUP BY user_id, run "
+        f"HAVING count(*) >= 2 AND max(us) - min(us) >= "
+        f"{STAY_MIN_DWELL_US}"
+    )
+
+
+def _sql_bearing_sector(dlon: str, dlat: str) -> str:
+    """8-octant direction CASE over pre-computed displacement columns
+    — ONE fragment used verbatim by both engines. Octant k covers
+    bearing angle [k·45°, (k+1)·45°) counter-clockwise from due east
+    (0 = E..NE, 1 = NE..N, ..., 7 = SE..E); 8 = stationary. The
+    45° boundaries are sign tests on dlat−dlon / dlat+dlon —
+    subtractions of doubles both engines derived identically, so
+    every decision is bit-identical (no trig, no irrational tan 22.5°
+    constant crosses engines)."""
+    x, y = dlon, dlat
+    return (
+        f"CASE WHEN {x} = 0 AND {y} = 0 THEN 8 "
+        f"WHEN {y} >= 0 AND {x} > 0 AND {y} - {x} < 0 THEN 0 "
+        f"WHEN {y} > 0 AND {x} > 0 THEN 1 "
+        f"WHEN {y} > 0 AND {y} + {x} > 0 THEN 2 "
+        f"WHEN {y} > 0 THEN 3 "
+        f"WHEN {y} <= 0 AND {x} < 0 AND {y} - {x} > 0 THEN 4 "
+        f"WHEN {x} < 0 THEN 5 "
+        f"WHEN {y} + {x} < 0 THEN 6 "
+        "ELSE 7 END"
+    )
+
+
+_SQL_DLON_WRAP = (
+    "CASE WHEN ({d}) > 180 THEN ({d}) - 360 "
+    "WHEN ({d}) <= -180 THEN ({d}) + 360 ELSE ({d}) END"
+)
+
+
+def q_bearing_hist(spark, sf_dir):
+    """TRAVEL-DIRECTION histogram: every consecutive-pair segment
+    classified into an 8-sector compass rose (equirectangular
+    displacement, antimeridian-wrapped), with per-sector segment and
+    distinct-traveller counts. The sector decision is a shared CASE
+    fragment over doubles both engines derive bit-identically — no
+    trigonometry crosses the engine boundary. Pure JVM end-to-end;
+    one map-side-combinable aggregate over the hot-key-bounded pair
+    stream."""
+    ev = src.load_table(spark, sf_dir, "events")
+    pairs = sessions.consecutive_pairs(ev, bucket_us=TRAVEL_BUCKET_US)
+    lon_p, lat_p = geometry.sql_lonlat_exprs("prev_id")
+    lon_c, lat_c = geometry.sql_lonlat_exprs("event_id")
+    d = pairs.select(
+        "user_id",
+        (F.expr(lon_c) - F.expr(lon_p)).alias("dr"),
+        (F.expr(lat_c) - F.expr(lat_p)).alias("dlat"),
+    ).select(
+        "user_id",
+        F.expr(_SQL_DLON_WRAP.format(d="dr")).alias("dlon"),
+        "dlat",
+    )
+    return (
+        d.select(
+            "user_id",
+            F.expr(_sql_bearing_sector("dlon", "dlat")).alias("sector"),
+        )
+        .groupBy("sector")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def sql_bearing_hist():
+    lon_p, lat_p = geometry.sql_lonlat_exprs("prev_id")
+    lon_c, lat_c = geometry.sql_lonlat_exprs("event_id")
+    wrap = _SQL_DLON_WRAP.format(d="dr")
+    sector = _sql_bearing_sector("dlon", "dlat")
+    return (
+        "WITH s AS (SELECT user_id, event_id, lag(event_id) OVER "
+        "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS "
+        "prev_id FROM events), "
+        f"d AS (SELECT user_id, ({lon_c}) - ({lon_p}) AS dr, "
+        f"({lat_c}) - ({lat_p}) AS dlat FROM s "
+        "WHERE prev_id IS NOT NULL), "
+        f"w AS (SELECT user_id, {wrap} AS dlon, dlat FROM d) "
+        f"SELECT {sector} AS sector, count(*) AS n_segments, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM w GROUP BY 1"
+    )
+
+
+BURST_RES = 1  # burst cell (4 quadrants over the global fixture)
+BURST_W_DAYS = 7  # trailing baseline window
+BURST_K = 3  # fire when day count * W > K * trailing-W-day sum
+
+
+def q_cell_bursts(spark, sf_dir):
+    """SPATIOTEMPORAL BURST detection (the event-hotspot / anomaly
+    primitive): a (cell, day) fires when its event count exceeds K×
+    its own trailing-W-day average — rendered as the integer cross-
+    multiplication cnt·W > K·trailing_sum so no float ratio crosses
+    engines. ONE O(events) aggregate collapses the input to at most
+    (4^res × #days) rows; the per-cell window runs over that bounded
+    aggregate, never the raw events — at 10^12 events the window
+    input is still just cells×days."""
+    ev = src.load_table(spark, sf_dir, "events")
+    lon, lat = geometry.sql_lonlat_exprs("event_id")
+    c = cellcodec.sql_cell_expr(lon, lat, BURST_RES)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day = F.expr(
+        "CAST(floor(us / CAST(86400000000 AS DOUBLE)) AS BIGINT)"
+    )
+    daily = (
+        ev.select(F.expr(c).alias("cell"), us.alias("us"))
+        .withColumn("day", day)
+        .groupBy("cell", "day")
+        .agg(F.count("*").alias("n_events"))
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("cell")
+        .orderBy("day")
+        .rangeBetween(-BURST_W_DAYS, -1)
+    )
+    return (
+        daily.withColumn("prior", F.sum("n_events").over(w))
+        .filter(
+            F.col("prior").isNotNull()
+            & (
+                F.col("n_events") * F.lit(BURST_W_DAYS)
+                > F.lit(BURST_K) * F.col("prior")
+            )
+        )
+        .select("cell", "day", "n_events", "prior")
+    )
+
+
+def sql_cell_bursts():
+    lon, lat = geometry.sql_lonlat_exprs("event_id")
+    c = cellcodec.sql_cell_expr(lon, lat, BURST_RES)
+    return (
+        f"WITH e AS (SELECT {c} AS cell, CAST(floor(epoch_us(ts) / "
+        "CAST(86400000000 AS DOUBLE)) AS BIGINT) AS day FROM events), "
+        "d AS (SELECT cell, day, count(*) AS n_events FROM e "
+        "GROUP BY 1, 2), "
+        "w AS (SELECT cell, day, n_events, sum(n_events) OVER "
+        "(PARTITION BY cell ORDER BY day RANGE BETWEEN "
+        f"{BURST_W_DAYS} PRECEDING AND 1 PRECEDING) AS prior FROM d) "
+        "SELECT cell, day, n_events, CAST(prior AS BIGINT) AS prior "
+        f"FROM w WHERE prior IS NOT NULL AND n_events * {BURST_W_DAYS} "
+        f"> {BURST_K} * prior"
+    )
+
+
+COVISIT_RES = 5  # visit cells (1024) — fine enough that visit sets differ
+COVISIT_J_PCT = 10  # integer Jaccard threshold (percent)
+COVISIT_MAX_DF = 64  # hot-cell cut: cells visited by more users drop
+
+
+def q_covisit_pairs(spark, sf_dir):
+    """CO-VISITATION similarity join: user pairs whose DISTINCT
+    visit-cell sets (res 5) overlap with Jaccard >= 10%, the
+    trajectory analog of document near-dup. Same skew discipline as
+    the shingle joins: cells visited by > max_df users are cut from
+    the sets BEFORE sizing (both engines share the rule), so the
+    cell-keyed pair explosion is quadratic only in the bounded
+    per-cell user count — a stadium cell at web scale cannot produce
+    10^12 pairs. The threshold is the integer cross-multiplication
+    100·inter >= J·(|A|+|B|−inter): no float division crosses
+    engines."""
+    ev = src.load_table(spark, sf_dir, "events")
+    lon, lat = geometry.sql_lonlat_exprs("event_id")
+    c = cellcodec.sql_cell_expr(lon, lat, COVISIT_RES)
+    uc = ev.select(
+        F.col("user_id").alias("u"), F.expr(c).alias("cell")
+    ).distinct()
+    hot = (
+        uc.groupBy("cell")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= COVISIT_MAX_DF)
+        .select("cell")
+    )
+    uc = uc.join(F.broadcast(hot), "cell")
+    sz = uc.groupBy("u").agg(F.count("*").alias("n"))
+    pairs = (
+        uc.alias("a")
+        .join(uc.alias("b"), "cell")
+        .filter(F.col("a.u") < F.col("b.u"))
+        .groupBy(F.col("a.u").alias("u1"), F.col("b.u").alias("u2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sz.withColumnRenamed("u", "u1").withColumnRenamed("n", "n1"), "u1")
+        .join(sz.withColumnRenamed("u", "u2").withColumnRenamed("n", "n2"), "u2")
+        .filter(
+            F.col("inter") * 100
+            >= F.lit(COVISIT_J_PCT) * (F.col("n1") + F.col("n2") - F.col("inter"))
+        )
+        .select(
+            "u1", "u2", "inter",
+            (F.col("n1") + F.col("n2") - F.col("inter")).alias("union_n"),
+        )
+    )
+
+
+def sql_covisit_pairs():
+    lon, lat = geometry.sql_lonlat_exprs("event_id")
+    c = cellcodec.sql_cell_expr(lon, lat, COVISIT_RES)
+    return (
+        f"WITH uc0 AS (SELECT DISTINCT user_id AS u, {c} AS cell "
+        "FROM events), "
+        "keep AS (SELECT cell FROM uc0 GROUP BY cell "
+        f"HAVING count(*) <= {COVISIT_MAX_DF}), "
+        "uc AS (SELECT u, uc0.cell FROM uc0 JOIN keep ON "
+        "uc0.cell = keep.cell), "
+        "sz AS (SELECT u, count(*) AS n FROM uc GROUP BY u), "
+        "p AS (SELECT a.u AS u1, b.u AS u2, count(*) AS inter "
+        "FROM uc a JOIN uc b ON a.cell = b.cell AND a.u < b.u "
+        "GROUP BY 1, 2) "
+        "SELECT u1, u2, inter, "
+        "CAST(s1.n + s2.n - inter AS BIGINT) AS union_n "
+        "FROM p JOIN sz s1 ON p.u1 = s1.u JOIN sz s2 ON p.u2 = s2.u "
+        f"WHERE inter * 100 >= {COVISIT_J_PCT} * (s1.n + s2.n - inter)"
+    )
+
+
 QUERY_TERMS = ("scan", "join", "window")  # fixture vocab is fixed (31
 # tokens at every sf), so literal query terms are scale-stable
 SEARCH_K = 100
@@ -3404,6 +3747,11 @@ def catalog():
         "term_search": (q_term_search, sql_term_search()),
         "od_matrix": (q_od_matrix, sql_od_matrix()),
         "geofence_dwell": (q_geofence_dwell, sql_geofence_dwell()),
+        "user_rog": (q_user_rog, sql_user_rog()),
+        "stay_points": (q_stay_points, sql_stay_points()),
+        "bearing_hist": (q_bearing_hist, sql_bearing_hist()),
+        "cell_bursts": (q_cell_bursts, sql_cell_bursts()),
+        "covisit_pairs": (q_covisit_pairs, sql_covisit_pairs()),
         "dedup_keep": (q_dedup_keep, sql_dedup_keep()),
         "chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
         "dedup_norm": (q_dedup_norm, sql_dedup_norm()),

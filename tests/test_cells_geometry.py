@@ -58,6 +58,40 @@ def test_lonlat_big_ids_no_overflow():
     assert np.array_equal(got["lat"], lat)
 
 
+def test_lonlat_units_sql_bit_identical():
+    """The 16-bit location lattice (radius-of-gyration moments): the
+    numpy shift must equal the SQL power-of-two-division rendering at
+    small AND far-past-int32 ids, and moments must stay inside the
+    documented int64 bound (ux^2 < 2^32)."""
+    ids = np.sort(
+        np.array(
+            [0, 1, 499, 2**31, 2**35, 10**12, 2**40, 2**62],
+            dtype=np.int64,
+        )
+    )
+    ux, uy = geometry.lonlat_units_from_id(ids)
+    assert np.all((ux >= 0) & (ux < 65536))
+    assert np.all((uy >= 0) & (uy < 65536))
+    # ground truth with arbitrary-precision Python ints: top 16 bits
+    # of the same lon/lat hashes
+    exp_ux = np.array(
+        [((int(i) * 2654435761) % 2**32) >> 16 for i in ids], dtype=np.int64
+    )
+    exp_uy = np.array(
+        [(((int(i) + 1) * 2246822519) % 2**32) >> 16 for i in ids],
+        dtype=np.int64,
+    )
+    assert np.array_equal(ux, exp_ux)
+    assert np.array_equal(uy, exp_uy)
+    sx, sy = geometry.sql_lonlat_units("id")
+    vals = ",".join(f"({int(i)}::BIGINT)" for i in ids)
+    got = duckdb.sql(
+        f"SELECT {sx} AS ux, {sy} AS uy FROM (VALUES {vals}) t(id) ORDER BY id"
+    ).fetchnumpy()
+    assert np.array_equal(got["ux"], ux)
+    assert np.array_equal(got["uy"], uy)
+
+
 @pytest.mark.parametrize("res", [1, 3, 6])
 def test_cell_id_sql_bit_identical(res):
     ids = np.arange(5000)
