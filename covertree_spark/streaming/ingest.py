@@ -205,6 +205,82 @@ def stateful_cell_profile(pts: DataFrame) -> DataFrame:
     )
 
 
+def stream_od_flows(
+    events: DataFrame,
+    res: int,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CUSTOM stateful operator: streaming ORIGIN-DESTINATION
+    transitions — the incremental form of queries.q_od_matrix's pair
+    stage. State per user is two integers (last event micros, last
+    event id): O(#users) state; each micro-batch resolves only its
+    own consecutive pairs (the state supplies the cross-batch
+    predecessor) and emits one (src_cell, dst_cell) row per cross-cell
+    transition, exactly once. The flow MATRIX is then a plain
+    downstream aggregate over this exactly-once stream (bounded at
+    (4^res)^2 rows) — streaming emits transitions, not the matrix,
+    so the operator composes with any window/watermark the consumer
+    wants. Same in-order-logs contract as stream_sessionize; parity
+    vs the batch pair stage is a pytest."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events.select(
+        F.col(id_col).alias("event_id"),
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    )
+    out_schema = (
+        "user_id bigint, event_id bigint, src_cell bigint, dst_cell bigint"
+    )
+    state_schema = "last_us bigint, last_eid bigint"
+
+    def update_fn(key, pdfs, state):
+        last_us, last_eid = state.get if state.exists else (0, -1)
+        uid = int(key[0])
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["_us", "event_id"], kind="stable")
+            eids = pdf["event_id"].to_numpy(dtype=np.int64)
+            prev = np.empty_like(eids)
+            prev[0] = last_eid
+            prev[1:] = eids[:-1]
+            last_eid = int(eids[-1])
+            last_us = int(pdf["_us"].iloc[-1])
+            valid = prev >= 0
+            if not valid.any():
+                continue
+            cur, pre = eids[valid], prev[valid]
+            lon1, lat1 = geometry.lonlat_from_id(pre)
+            lon2, lat2 = geometry.lonlat_from_id(cur)
+            src_c = cellcodec.cell_id(lon1, lat1, res)
+            dst_c = cellcodec.cell_id(lon2, lat2, res)
+            flow = src_c != dst_c
+            if not flow.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(int(flow.sum()), uid, dtype=np.int64),
+                    "event_id": cur[flow],
+                    "src_cell": src_c[flow],
+                    "dst_cell": dst_c[flow],
+                }
+            )
+        state.update((last_us, last_eid))
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_geofence(
     events: DataFrame,
     polys: list,

@@ -341,3 +341,57 @@ def test_stream_geofence_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_od_flows_matches_batch(spark, tmp_path):
+    """Streaming OD transitions (applyInPandasWithState, two ints of
+    state per user) drained over time-ordered micro-batches, then
+    folded by a plain aggregate, equals the batch od_matrix on the
+    real events fixture."""
+    import os
+
+    from covertree_spark.queries import OD_RES, q_od_matrix
+    from covertree_spark.streaming.ingest import stream_od_flows
+    from tests.conftest import SF_TINY
+
+    src = str(tmp_path / "evsrc")
+    os.makedirs(src)
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    step = (len(pdf) + 3) // 4
+    now = 1_700_000_000
+    for i in range(4):
+        p = os.path.join(src, f"chunk{i:03d}.parquet")
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    batch_ev = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch_ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_od_flows(stream, OD_RES)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("od_sink")
+        .option("checkpointLocation", str(tmp_path / "ck_od"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT src_cell, dst_cell, count(*) AS n_trips, "
+            "count(DISTINCT user_id) AS n_users FROM od_sink "
+            "GROUP BY 1, 2"
+        ).collect()
+    }
+    want = {tuple(r) for r in q_od_matrix(spark, SF_TINY).collect()}
+    assert got == want
+    assert len(want) > 0
