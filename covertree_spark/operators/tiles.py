@@ -535,3 +535,195 @@ def sql_tile_mode_resample(
         f"CAST(sum(cnt) OVER (PARTITION BY tile) AS BIGINT) AS n_children FROM pm "
         f"QUALIFY row_number() OVER (PARTITION BY tile ORDER BY cnt DESC, {cat_col} ASC) = 1"
     )
+
+
+def tile_lisa(
+    points: DataFrame, zoom: int, lon_col: str = "lon", lat_col: str = "lat"
+) -> DataFrame:
+    """LISA QUADRANT CLASSIFICATION (local spatial association — the
+    hotspot/coldspot read-off of local Moran's I): every occupied
+    tile at ``zoom`` is classed by whether its OWN count and its
+    NEIGHBORHOOD-MEAN count (3x3 ring excluding self, lon wrap / lat
+    clamp as tile_focal_sum) each exceed the global per-occupied-tile
+    mean. quad 1 = HH (hotspot core), 2 = LH (cold cell in a hot
+    ring — a "doughnut hole"), 3 = LL (coldspot), 4 = HL (hot outlier
+    in a cold ring). Isolated tiles (no occupied ring member) have a
+    neighborhood mean of nothing and class as *L (quad 2/3 arm).
+
+    Both mean comparisons are INTEGER CROSS-MULTIPLICATIONS —
+    cnt * n_occupied > total  and  nbr_cnt * n_occupied > nbr_n *
+    total — so the classification is exactly reproducible across
+    engines; ties (exact equality) are "not high" in both.
+
+    Physical plan: ONE O(points) histogram groupBy (the only pass
+    over data), an 8-offset scatter + histogram-sized groupBy for the
+    ring sums, and a BROADCAST of the single global (total, n_occ)
+    row — at 10^12 points everything after the histogram is
+    O(occupied tiles) <= 4^zoom. Returns (tile, cnt, nbr_cnt, nbr_n,
+    quad), all BIGINT."""
+    assert zoom >= 2, "ring offsets collapse below 4x4 grids"
+    n = 1 << zoom
+    h = tile_histogram(points, zoom, lon_col, lat_col)
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                if (dx, dy) != (0, 0)
+            ]
+        )
+    ).alias("o")
+    tx = ((F.col("tile") - F.col("tile") % n) / n).cast("bigint")  # ix, exact
+    ring = (
+        h.select("tile", "cnt", offs)
+        .select(
+            (
+                F.pmod(tx + F.col("o.dx"), F.lit(n)) * n
+                + (F.col("tile") % n + F.col("o.dy"))
+            ).alias("target"),
+            (F.col("tile") % n + F.col("o.dy")).alias("_ty"),
+            "cnt",
+        )
+        .where((F.col("_ty") >= 0) & (F.col("_ty") < n))
+        .groupBy(F.col("target").alias("tile"))
+        .agg(
+            F.sum("cnt").alias("nbr_cnt"),
+            F.count("*").cast("bigint").alias("nbr_n"),
+        )
+    )
+    g = h.agg(
+        F.sum("cnt").alias("_tot"), F.count("*").cast("bigint").alias("_nocc")
+    )
+    own_hi = F.col("cnt") * F.col("_nocc") > F.col("_tot")
+    nbr_hi = (F.col("nbr_n") > 0) & (
+        F.col("nbr_cnt") * F.col("_nocc") > F.col("nbr_n") * F.col("_tot")
+    )
+    return (
+        h.join(ring, "tile", "left")
+        .na.fill({"nbr_cnt": 0, "nbr_n": 0})
+        .join(F.broadcast(g))
+        .select(
+            "tile",
+            "cnt",
+            "nbr_cnt",
+            "nbr_n",
+            F.when(own_hi & nbr_hi, F.lit(1))
+            .when(~own_hi & nbr_hi, F.lit(2))
+            .when(~own_hi & ~nbr_hi, F.lit(3))
+            .otherwise(F.lit(4))
+            .cast("bigint")
+            .alias("quad"),
+        )
+    )
+
+
+def sql_tile_lisa(tile_expr: str, zoom: int, table: str = "documents") -> str:
+    """ANSI-SQL oracle for ``tile_lisa`` — GATHER ring formulation
+    (join every occupied ring member, excluding self), same integer
+    cross-multiplied mean tests."""
+    n = 1 << zoom
+    ax = f"CAST(floor(a.tile / {n}.0) AS BIGINT)"
+    bx = f"CAST(floor(b.tile / {n}.0) AS BIGINT)"
+    return (
+        f"WITH h AS (SELECT {tile_expr} AS tile, count(*) AS cnt "
+        f"FROM {table} GROUP BY 1), "
+        f"nb AS (SELECT a.tile AS tile, CAST(sum(b.cnt) AS BIGINT) AS nbr_cnt, "
+        f"CAST(count(*) AS BIGINT) AS nbr_n "
+        f"FROM h a JOIN h b ON ((({ax}) - ({bx})) % {n} + {n}) % {n} IN (0, 1, {n - 1}) "
+        f"AND abs((a.tile % {n}) - (b.tile % {n})) <= 1 AND b.tile <> a.tile "
+        f"GROUP BY 1), "
+        f"g AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot, "
+        f"CAST(count(*) AS BIGINT) AS nocc FROM h) "
+        f"SELECT h.tile, h.cnt, COALESCE(nb.nbr_cnt, 0) AS nbr_cnt, "
+        f"COALESCE(nb.nbr_n, 0) AS nbr_n, CAST(CASE "
+        f"WHEN h.cnt * g.nocc > g.tot AND COALESCE(nb.nbr_n, 0) > 0 "
+        f"AND nb.nbr_cnt * g.nocc > nb.nbr_n * g.tot THEN 1 "
+        f"WHEN NOT (h.cnt * g.nocc > g.tot) AND COALESCE(nb.nbr_n, 0) > 0 "
+        f"AND nb.nbr_cnt * g.nocc > nb.nbr_n * g.tot THEN 2 "
+        f"WHEN NOT (h.cnt * g.nocc > g.tot) THEN 3 ELSE 4 END AS BIGINT) AS quad "
+        f"FROM h LEFT JOIN nb ON h.tile = nb.tile CROSS JOIN g"
+    )
+
+
+def tile_proximity(
+    points: DataFrame,
+    zoom: int,
+    max_d: int = 3,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """BOUNDED DISTANCE TRANSFORM (GDAL gdal_proximity with -maxdist):
+    for every tile within Chebyshev distance <= ``max_d`` of an
+    occupied tile — including the occupied tiles themselves at 0 —
+    the minimum Chebyshev tile-step distance to an occupied tile,
+    with longitude wrapping and latitude clamping (the grid's torus/
+    pole topology, same rules as tile_focal_sum).
+
+    Physical plan: ONE O(points) histogram pass, then each occupied
+    tile scatters to its (2*max_d+1)^2 window targets via an exploded
+    literal offset array (pure JVM) and a histogram-sized groupBy
+    takes min(dist) — O(occupied x window) rows shuffled, never
+    points. The full (unbounded) transform is this op iterated with
+    doubling max_d over the still-unlabeled complement; at web scale
+    the bounded form is the one a 100 TB raster materializes.
+
+    Returns (tile, dist), both BIGINT."""
+    assert zoom >= 2 and max_d >= 1
+    n = 1 << zoom
+    # windows wider than the grid circumference are safe: when a wrap
+    # makes a target reachable from two offsets, BOTH are in the
+    # window (|dx| <= max_d implies n-|dx| <= max_d when n-|dx| is the
+    # shorter way), so min(d) is the true torus Chebyshev distance
+    assert max_d < n, "use the histogram itself beyond a full wrap"
+    occ = tile_histogram(points, zoom, lon_col, lat_col).select("tile")
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(dx).alias("dx"),
+                    F.lit(dy).alias("dy"),
+                    F.lit(max(abs(dx), abs(dy))).alias("d"),
+                )
+                for dx in range(-max_d, max_d + 1)
+                for dy in range(-max_d, max_d + 1)
+            ]
+        )
+    ).alias("o")
+    tx = ((F.col("tile") - F.col("tile") % n) / n).cast("bigint")
+    return (
+        occ.select("tile", offs)
+        .select(
+            (
+                F.pmod(tx + F.col("o.dx"), F.lit(n)) * n
+                + (F.col("tile") % n + F.col("o.dy"))
+            ).alias("target"),
+            (F.col("tile") % n + F.col("o.dy")).alias("_ty"),
+            F.col("o.d").alias("d"),
+        )
+        .where((F.col("_ty") >= 0) & (F.col("_ty") < n))
+        .groupBy(F.col("target").alias("tile"))
+        .agg(F.min("d").cast("bigint").alias("dist"))
+    )
+
+
+def sql_tile_proximity(
+    tile_expr: str, zoom: int, max_d: int = 3, table: str = "documents"
+) -> str:
+    """ANSI-SQL oracle for ``tile_proximity`` — the same scatter over
+    a VALUES offset grid (offset enumeration is the op's definition;
+    what hash equality proves is the wrap/clamp target arithmetic and
+    the min-reduce)."""
+    n = 1 << zoom
+    vals = ", ".join(f"({d})" for d in range(-max_d, max_d + 1))
+    return (
+        f"WITH h AS (SELECT DISTINCT {tile_expr} AS tile FROM {table}), "
+        f"offs AS (SELECT dxs.dx AS dx, dys.dy AS dy "
+        f"FROM (VALUES {vals}) dxs(dx) CROSS JOIN (VALUES {vals}) dys(dy)), "
+        f"s AS (SELECT ((CAST(floor(h.tile / {n}.0) AS BIGINT) + dx) % {n} + {n}) % {n} * {n} "
+        f"+ (h.tile % {n} + dy) AS tile, "
+        f"GREATEST(abs(dx), abs(dy)) AS d, h.tile % {n} + dy AS ty "
+        f"FROM h CROSS JOIN offs) "
+        f"SELECT tile, CAST(min(d) AS BIGINT) AS dist FROM s "
+        f"WHERE ty >= 0 AND ty < {n} GROUP BY 1"
+    )

@@ -944,6 +944,40 @@ def sql_tile_focal_sum():
     return tiles.sql_tile_focal_sum(t, HIST_Z)
 
 
+def q_tile_lisa(spark, sf_dir):
+    """LISA hotspot/coldspot quadrants (local-Moran read-off) over the
+    HIST_Z occupancy raster: own-vs-global and ring-mean-vs-global
+    classed by integer cross-multiplication — the spatial-statistics
+    layer on top of tile_focal_sum, exactly reproducible (no float
+    mean crosses engines). Oracle gathers the ring; the engine
+    scatters it — hash equality proves the identity plus the
+    wrap/clamp arithmetic."""
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    return tiles.tile_lisa(pts, HIST_Z)
+
+
+def sql_tile_lisa():
+    t = cellcodec.sql_cell_expr(_LON_E, _LAT_E, HIST_Z)
+    return tiles.sql_tile_lisa(t, HIST_Z)
+
+
+PROX_D = 3  # bounded distance-transform window (Chebyshev tile steps)
+
+
+def q_tile_proximity(spark, sf_dir):
+    """Bounded distance transform (gdal_proximity -maxdist analog):
+    min Chebyshev tile-step distance to an occupied tile for every
+    tile within PROX_D, occupied tiles at 0. O(points) once, then
+    O(occupied x 49) — integer-exact."""
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    return tiles.tile_proximity(pts, HIST_Z, max_d=PROX_D)
+
+
+def sql_tile_proximity():
+    t = cellcodec.sql_cell_expr(_LON_E, _LAT_E, HIST_Z)
+    return tiles.sql_tile_proximity(t, HIST_Z, max_d=PROX_D)
+
+
 def q_tile_mode_resample(spark, sf_dir):
     """MODE (majority) RESAMPLING — the categorical raster rollup
     (GDAL ``-r mode``): per-tile majority ``lang`` at HIST_Z, then
@@ -3698,6 +3732,8 @@ def catalog():
             sql_tile_poly_cover_table(),
         ),
         "tile_focal_sum": (q_tile_focal_sum, sql_tile_focal_sum()),
+        "tile_lisa": (q_tile_lisa, sql_tile_lisa()),
+        "tile_proximity": (q_tile_proximity, sql_tile_proximity()),
         "tile_mode_resample": (q_tile_mode_resample, sql_tile_mode_resample()),
         "emb_ball_join": (q_emb_ball_join, sql_emb_ball_join()),
         "emb_knn": (q_emb_knn, sql_emb_knn()),
