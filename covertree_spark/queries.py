@@ -321,6 +321,40 @@ def _geo_points(spark: SparkSession, sf_dir: str):
     return _PREP_CACHE[key]
 
 
+def _ev_points(spark: SparkSession, sf_dir: str):
+    """(points, stats) over EVENT ping locations — the same aligned
+    hash(cell) layout discipline as _geo_points, keyed on event_id, so
+    trajectory-level spatial joins reuse the whole cogroup/ghost
+    machinery unchanged."""
+    key = _prep_key(spark, sf_dir, "ev")
+    if key not in _PREP_CACHE:
+        n = src.load_table(spark, sf_dir, "events").count()
+        res = adaptive_geo_res(n, spark.sparkContext.defaultParallelism)
+        hot = max(1024, (8 * n) // cellcodec.num_cells(res))
+
+        def build():
+            ll = assign_cells(src.event_points_lonlat(spark, sf_dir), res=res)
+            ll2 = split_hot_cells(ll, res, max_cell_size=hot)
+            fine = cellcodec.sql_cell_expr("lon", "lat", res + 2)
+            ll2 = ll2.withColumn("cell_fine", F.expr(fine))
+            xyz = src.points_xyz(src.event_points_lonlat(spark, sf_dir))
+            return xyz.join(
+                ll2.select("id", F.col("pcell").alias("cell"), "cell_fine"), "id"
+            )
+
+        pts, stats, snap = _checkpointed_layout(
+            spark,
+            "ev_points",
+            {"sf_dir": sf_dir.rstrip("/"), "res": res, "hot": hot, "d": 3,
+             "v": LAYOUT_V},
+            build,
+            d=3,
+        )
+        _prep_insert(key, (pts, stats))
+        _PREP_SNAP[key] = snap
+    return _PREP_CACHE[key]
+
+
 def _emb_points(spark: SparkSession, sf_dir: str):
     """(points, stats) for raw embeddings: ONE Voronoi sample pass
     (fine centers), coarse shuffle groups derived driver-side, ONE
@@ -3444,6 +3478,87 @@ def sql_covisit_pairs():
     )
 
 
+# TRAJ_R sits at the midpoint of the WIDEST gap in the cross-pair
+# chord-distance spectrum near 0.28 at sf0.01 (measured min |d - R| =
+# 4.38e-7 — the spectrum is too dense at 10k points for the usual
+# 1e-6; the engine's GEMM d² vs the oracle's explicit-difference d²
+# disagree by <= ~4 ulps ≈ 1e-15, nine orders below the gap, and the
+# clearance test pins it).
+TRAJ_R = 0.27995766062471084
+TRAJ_COV_PCT = 80  # integer mutual-coverage threshold (per cent)
+
+
+def q_traj_coverage(spark, sf_dir):
+    """TRAJECTORY MUTUAL-COVERAGE JOIN (the radius form of discrete
+    Hausdorff similarity): user pairs where >= TRAJ_COV_PCT % of EACH
+    user's ping locations lie within TRAJ_R of some ping of the other
+    user (at 100% this is exactly discrete Hausdorff <= R in both
+    directions). The point-level trajectory-similarity staple that
+    covisit_pairs' cell-set Jaccard only approximates.
+
+    Physical plan: the events layout is the SAME aligned hash(cell)
+    point layout as documents (_ev_points), so the R-ball stage is the
+    engine's cogroup ball join — ghosts-only shuffle, O(candidate)
+    bytes. Coverage is then countDistinct(src) per ordered user pair
+    (the edge stream is cell-local before this one aggregate), the
+    mutual test is an integer cross-multiplication against per-user
+    ping counts (broadcastable), and the directed->mutual fold is an
+    equi-join of the (u1<u2) and (u1>u2) halves. Per-pair decisions:
+    distance (clearance-pinned) then pure integers."""
+    pts, stats = _ev_points(spark, sf_dir)
+    edges = ball_self_join(pts, TRAJ_R, d=3, stats=stats).select("src", "dst")
+    ev = src.load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"), F.col("user_id").alias("u")
+    )
+    nu = ev.groupBy("u").agg(F.count("*").alias("n"))
+    e = (
+        edges.join(
+            ev.select(F.col("id").alias("src"), F.col("u").alias("us")), "src"
+        )
+        .join(ev.select(F.col("id").alias("dst"), F.col("u").alias("ud")), "dst")
+        .filter(F.col("us") != F.col("ud"))
+    )
+    cov = e.groupBy("us", "ud").agg(F.countDistinct("src").alias("c"))
+    a = cov.filter(F.col("us") < F.col("ud")).select(
+        F.col("us").alias("u1"), F.col("ud").alias("u2"), F.col("c").alias("cov12")
+    )
+    b = cov.filter(F.col("us") > F.col("ud")).select(
+        F.col("ud").alias("u1"), F.col("us").alias("u2"), F.col("c").alias("cov21")
+    )
+    return (
+        a.join(b, ["u1", "u2"])
+        .join(F.broadcast(nu.select(F.col("u").alias("u1"), F.col("n").alias("n1"))), "u1")
+        .join(F.broadcast(nu.select(F.col("u").alias("u2"), F.col("n").alias("n2"))), "u2")
+        .filter(
+            (F.col("cov12") * 100 >= F.lit(TRAJ_COV_PCT) * F.col("n1"))
+            & (F.col("cov21") * 100 >= F.lit(TRAJ_COV_PCT) * F.col("n2"))
+        )
+        .select("u1", "u2", "cov12", "cov21", "n1", "n2")
+    )
+
+
+def sql_traj_coverage():
+    lon, lat = geometry.sql_lonlat_exprs("event_id")
+    x, y, z = geometry.sql_xyz_exprs("lon", "lat")
+    d = "sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z))"
+    return (
+        f"WITH pts AS (SELECT event_id AS id, user_id AS u, {lon} AS lon, "
+        f"{lat} AS lat FROM events), "
+        f"xyz AS (SELECT id, u, {x} AS x, {y} AS y, {z} AS z FROM pts), "
+        f"e AS (SELECT a.id AS src, a.u AS us, b.u AS ud FROM xyz a "
+        f"JOIN xyz b ON a.u <> b.u AND {d} <= {TRAJ_R!r}), "
+        "cov AS (SELECT us, ud, count(DISTINCT src) AS c FROM e GROUP BY 1, 2), "
+        "n AS (SELECT u, count(*) AS n FROM pts GROUP BY 1) "
+        "SELECT c1.us AS u1, c1.ud AS u2, c1.c AS cov12, c2.c AS cov21, "
+        "n1.n AS n1, n2.n AS n2 "
+        "FROM cov c1 JOIN cov c2 ON c1.us = c2.ud AND c1.ud = c2.us "
+        "AND c1.us < c1.ud "
+        "JOIN n n1 ON n1.u = c1.us JOIN n n2 ON n2.u = c1.ud "
+        f"WHERE 100*c1.c >= {TRAJ_COV_PCT}*n1.n "
+        f"AND 100*c2.c >= {TRAJ_COV_PCT}*n2.n"
+    )
+
+
 QUERY_TERMS = ("scan", "join", "window")  # fixture vocab is fixed (31
 # tokens at every sf), so literal query terms are scale-stable
 SEARCH_K = 100
@@ -3788,6 +3903,7 @@ def catalog():
         "bearing_hist": (q_bearing_hist, sql_bearing_hist()),
         "cell_bursts": (q_cell_bursts, sql_cell_bursts()),
         "covisit_pairs": (q_covisit_pairs, sql_covisit_pairs()),
+        "traj_coverage": (q_traj_coverage, sql_traj_coverage()),
         "dedup_keep": (q_dedup_keep, sql_dedup_keep()),
         "chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
         "dedup_norm": (q_dedup_norm, sql_dedup_norm()),

@@ -74,6 +74,24 @@ def doc_points_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_points_lonlat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> (id, lon, lat): the per-ping location, same shared
+    id->geometry derivation (and therefore the same oracle fragments)
+    as the documents table."""
+    lon_e, lat_e = geometry.sql_lonlat_exprs("event_id")
+    return load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.expr(lon_e).alias("lon"),
+        F.expr(lat_e).alias("lat"),
+    )
+
+
+def points_xyz(lonlat: DataFrame) -> DataFrame:
+    """(id, lon, lat) -> (id, vec[3]): the one f32 rounding shared with
+    the oracle's xyz fragment (see _xyz_udf)."""
+    return lonlat.select("id", _xyz_udf("lon", "lat").alias("vec"))
+
+
 def embedding_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings -> (id, vec[d]): the parquet column is float32
     already, so the native FLOAT array is EXACT; kernels widen to
