@@ -123,6 +123,15 @@ BENCH_QUERIES = [
     "bearing_hist",
     "cell_bursts",
     "covisit_pairs",
+    # raster spatial stats (LISA quadrants, distance transform)
+    "tile_lisa",
+    "tile_proximity",
+    # NOT benched: traj_coverage — its radius (TRAJ_R) is calibrated
+    # against the sf0.01 chord-distance spectrum for the oracle gate;
+    # at sf0.1 the same ball is density-pathological (edge blow-up),
+    # so benching it there would measure a mis-parameterized query,
+    # not the engine. Ball-join cost at sf0.1 is already covered by
+    # geo_ball_join / emb_ball_join / emb_neardup.
 ]
 
 
