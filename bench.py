@@ -126,6 +126,9 @@ BENCH_QUERIES = [
     # raster spatial stats (LISA quadrants, distance transform)
     "tile_lisa",
     "tile_proximity",
+    # second-order spatial stats + trajectory resampling
+    "ripley_k",
+    "traj_interp",
     # NOT benched: traj_coverage — its radius (TRAJ_R) is calibrated
     # against the sf0.01 chord-distance spectrum for the oracle gate;
     # at sf0.1 the same ball is density-pathological (edge blow-up),

@@ -44,6 +44,18 @@ from .sources import vecfiles
 
 # ---- tuned constants (clearance-verified in tests) -------------------------
 GEO_BALL_R = 0.28  # chord radius, unit sphere
+
+# Ripley's K bin edges (chord radii). Each sits at the midpoint of the
+# WIDEST gap in the sf0.01 doc-pair chord spectrum within +-10% of the
+# natural targets 0.02/0.05/0.1/0.18 (measured gaps 1.07e-3 / 2.69e-4 /
+# 3.28e-4 / 4.19e-4 — nine-plus orders above the <=~4-ulp GEMM-vs-
+# explicit-diff evaluation skew; pinned by test_ripley_edge_clearance).
+RIPLEY_EDGES = (
+    0.021784075335771477,
+    0.05263646441043096,
+    0.10178989488887069,
+    0.18319464446495526,
+)
 GEO_HAV_R_KM = 1000.0  # geodesic ball radius, kilometres (haversine join)
 GEO_CC_R = 0.10  # components radius: 178 comps, max 128, clearance 1.1e-4 @sf0.01
 EMB_BALL_R = 1.1
@@ -505,6 +517,54 @@ def sql_geo_haversine_join():
         " FROM xyz a JOIN xyz b ON a.id <> b.id"
         " JOIN pts pa ON pa.id = a.id JOIN pts pb ON pb.id = b.id"
         f" WHERE sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z)) <= {chord!r}"
+    )
+
+
+def q_ripley_k(spark, sf_dir):
+    """RIPLEY'S K FUNCTION (unnormalized numerator): cumulative count
+    of unordered point pairs within chord radius r, for each bin edge
+    in RIPLEY_EDGES — the classic second-order spatial-statistics
+    summary (Ripley 1976; spatstat's Kest) whose shape vs r separates
+    clustering from dispersion. K_hat(r) itself is area/n^2 x this
+    count; the float normalization is a driver-side constant, so the
+    engine emits the INTEGER pair counts and stays hash-exact.
+
+    Physical plan: ONE ball join at r_max (the engine's cogroup plan —
+    ghosts-only shuffle, per-pair cost identical to geo_ball_join),
+    then 4 conditional sums in a single JVM agg — no per-bin rescan,
+    no extra shuffle beyond the one scalar agg. Bin-edge decisions are
+    clearance-pinned (see RIPLEY_EDGES); everything after the distance
+    comparison is pure integers."""
+    pts, stats = _geo_points(spark, sf_dir)
+    pairs = ball_self_join(pts, RIPLEY_EDGES[-1], d=3, stats=stats).filter(
+        F.col("src") < F.col("dst")
+    )
+    row = pairs.agg(
+        *[
+            F.sum((F.col("dist") <= F.lit(r)).cast("bigint")).alias(f"c{i}")
+            for i, r in enumerate(RIPLEY_EDGES)
+        ]
+    )
+    stack = ", ".join(
+        f"CAST({i} AS BIGINT), c{i}" for i in range(len(RIPLEY_EDGES))
+    )
+    return row.selectExpr(
+        f"stack({len(RIPLEY_EDGES)}, {stack}) AS (r_idx, pairs)"
+    )
+
+
+def sql_ripley_k():
+    d = "sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z))"
+    edges = ", ".join(
+        f"({i}, {r!r})" for i, r in enumerate(RIPLEY_EDGES)
+    )
+    return (
+        _PTS_CTE
+        + f", d AS (SELECT {d} AS dist FROM xyz a JOIN xyz b"
+        f" ON a.id < b.id AND {d} <= {RIPLEY_EDGES[-1]!r})"
+        f" SELECT CAST(e.r_idx AS BIGINT) AS r_idx,"
+        " CAST(count(*) FILTER (WHERE d.dist <= e.edge) AS BIGINT) AS pairs"
+        f" FROM d CROSS JOIN (VALUES {edges}) e(r_idx, edge) GROUP BY 1"
     )
 
 
@@ -2721,6 +2781,86 @@ def sql_travel_speed():
     )
 
 
+INTERP_GRID_US = 21_600_000_000  # 6h resampling grid
+
+
+def _interp_frags() -> tuple[str, str]:
+    """The interpolation arithmetic as ONE SQL fragment pair, used
+    verbatim by Spark (F.expr) and DuckDB: over columns (prev_id,
+    event_id, prev_us, us, k), linear position at epoch k*G. The
+    weight's numerator (<= G < 2^53) and denominator (< a month of
+    micros) are integers exact in DOUBLE; every float op is in
+    identical order in both engines, so the emitted doubles are
+    bit-identical (same discipline as the lon/lat/tile fragments)."""
+    lon1, lat1 = geometry.sql_lonlat_exprs("prev_id")
+    lon2, lat2 = geometry.sql_lonlat_exprs("event_id")
+    w = (
+        f"(CAST(k * {INTERP_GRID_US} - prev_us AS DOUBLE) / "
+        "CAST(us - prev_us AS DOUBLE))"
+    )
+    lon = f"({lon1}) + (({lon2}) - ({lon1})) * {w}"
+    lat = f"({lat1}) + (({lat2}) - ({lat1})) * {w}"
+    return lon, lat
+
+
+def q_traj_interp(spark, sf_dir):
+    """TRAJECTORY RESAMPLING to a fixed time grid: per user, the
+    linearly-interpolated (lon, lat) position at every 6h grid epoch
+    that falls strictly inside a consecutive-ping segment (tp, tn] —
+    the standard preprocessing step that turns irregular ping streams
+    into aligned fixed-rate trajectories (map tiles of "where was
+    everyone at epoch t", trajectory clustering, OD snapshots).
+
+    Plan: the hot-key-bounded consecutive-pair primitive (no task ever
+    holds a full user history), then a PURE-JVM sequence/explode for
+    the in-segment epochs — integer DIV arithmetic, no Python — and
+    the shared interpolation fragment for the positions. Output size
+    is O(active-time/grid) per user regardless of ping density: dense
+    segments emit nothing (no epoch falls inside), sparse segments
+    emit their covered epochs exactly once (half-open (tp, tn] makes
+    epoch ownership unambiguous when a ping lands ON the grid).
+    Linear in lon/lat by definition (documented: not geodesic — the
+    fixture's pings are global, interpolation semantics are the
+    coordinate-space staple, same as pandas/InfluxDB resample)."""
+    G = INTERP_GRID_US
+    ev = src.load_table(spark, sf_dir, "events")
+    seg = sessions.consecutive_pairs(ev, bucket_us=TRAVEL_BUCKET_US)
+    ks = seg.withColumn(
+        "k",
+        F.explode(
+            F.expr(
+                f"CASE WHEN us DIV {G} >= prev_us DIV {G} + 1 "
+                f"THEN sequence(prev_us DIV {G} + 1, us DIV {G}) "
+                "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+            )
+        ),
+    )
+    lon, lat = _interp_frags()
+    return ks.select(
+        "user_id",
+        F.expr(f"k * {G}").alias("epoch_us"),
+        F.expr(lon).alias("lon"),
+        F.expr(lat).alias("lat"),
+    )
+
+
+def sql_traj_interp():
+    G = INTERP_GRID_US
+    lon, lat = _interp_frags()
+    return (
+        "WITH s AS (SELECT user_id, event_id, "
+        "lag(event_id) OVER w AS prev_id, epoch_us(ts) AS us, "
+        "lag(epoch_us(ts)) OVER w AS prev_us FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, "
+        "event_id ASC)), "
+        "g AS (SELECT user_id, prev_id, event_id, prev_us, us, "
+        f"unnest(generate_series(prev_us // {G} + 1, us // {G})) AS k "
+        "FROM s WHERE prev_id IS NOT NULL) "
+        f"SELECT user_id, k * {G} AS epoch_us, {lon} AS lon, "
+        f"{lat} AS lat FROM g"
+    )
+
+
 TRIP_GAP_US = 21_600_000_000  # 6h dwell ends a trip
 TRIP_JUMP_M = 9_000_000  # a 9000 km hop is a new trip, not a leg
 
@@ -3823,6 +3963,7 @@ def catalog():
         "geo_cell_histogram": (q_geo_cell_histogram, sql_geo_cell_histogram()),
         "geo_ball_join": (q_geo_ball_join, sql_geo_ball_join()),
         "geo_haversine_join": (q_geo_haversine_join, sql_geo_haversine_join()),
+        "ripley_k": (q_ripley_k, sql_ripley_k()),
         "geo_knn": (q_geo_knn, sql_geo_knn()),
         "geo_knn_filtered": (q_geo_knn_filtered, sql_geo_knn_filtered()),
         "pip_convex": (q_pip_convex, sql_pip_convex()),
@@ -3888,6 +4029,7 @@ def catalog():
         "events_sessionize": (q_events_sessionize, sql_events_sessionize()),
         "user_travel": (q_user_travel, sql_user_travel()),
         "travel_speed": (q_travel_speed, sql_travel_speed()),
+        "traj_interp": (q_traj_interp, sql_traj_interp()),
         "user_trips": (q_user_trips, sql_user_trips()),
         "colocation_pairs": (q_colocation_pairs, sql_colocation_pairs()),
         "geofence_transitions": (

@@ -1,0 +1,59 @@
+"""Ripley's K: bin-edge clearance pin at the gated sf + count parity
+vs a direct numpy evaluation of the definition.
+
+Same discipline as test_traj_coverage: RIPLEY_EDGES are constants
+calibrated against the sf0.01 doc-pair chord spectrum; the clearance
+test recomputes the full spectrum so a regenerated fixture or a moved
+edge fails loudly instead of silently flipping a pair across a bin.
+"""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from covertree_spark import queries as Q
+from covertree_spark.core import covertree as ct
+from covertree_spark.core import geometry
+
+from .conftest import SF_SMALL
+
+
+def _doc_xyz(sf_dir):
+    ids = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        ["doc_id"].to_numpy()
+    )
+    lon, lat = geometry.lonlat_from_id(ids)
+    return geometry.lonlat_to_xyz(lon, lat).astype(np.float32).astype(np.float64)
+
+
+def _pair_dists(X):
+    out = []
+    for i in range(0, len(X), 1000):
+        D = np.sqrt(ct.pairwise_sq_dists(X[i : i + 1000], X))
+        for j, row in zip(range(i, min(i + 1000, len(X))), D):
+            out.append(row[j + 1 :])
+    return np.concatenate(out)
+
+
+def test_ripley_edge_clearance():
+    """min |d - edge| over ALL unordered doc pairs at sf0.01 must beat
+    the cross-engine evaluation bound (~4 ulps ~ 1e-15 at d<=2) by
+    orders of magnitude, for EVERY bin edge."""
+    d = _pair_dists(_doc_xyz(SF_SMALL))
+    for r in Q.RIPLEY_EDGES:
+        gap = float(np.abs(d - r).min())
+        assert gap > 1e-7, f"pair distance within {gap} of edge {r}"
+
+
+def test_ripley_counts_match_numpy(spark):
+    """The engine's cumulative bin counts == the definition evaluated
+    directly (numpy brute force) on the same f32-representable xyz."""
+    d = _pair_dists(_doc_xyz(SF_SMALL))
+    want = [(i, int((d <= r).sum())) for i, r in enumerate(Q.RIPLEY_EDGES)]
+    got = sorted(
+        (r["r_idx"], r["pairs"])
+        for r in Q.catalog()["ripley_k"][0](spark, SF_SMALL).collect()
+    )
+    assert got == want
+    # K is cumulative by construction: counts must be nondecreasing
+    assert all(a[1] <= b[1] for a, b in zip(got, got[1:]))
