@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "tile_proximity",
     # second-order spatial stats + trajectory resampling
     "ripley_k",
+    "gfunction",
     "traj_interp",
     # NOT benched: traj_coverage — its radius (TRAJ_R) is calibrated
     # against the sf0.01 chord-distance spectrum for the oracle gate;

@@ -583,6 +583,59 @@ def sql_geo_knn(k: int = KNN_K):
     )
 
 
+# G-function bin edges (NN-distance CDF sampling radii). Each sits at
+# the midpoint of the WIDEST gap in the sf0.01 sorted NN-distance
+# array within +-15% of its quartile target (measured gaps 5.5e-4 to
+# 1.1e-3 — far above the GEMM-vs-explicit-diff ulp skew; pinned by
+# test_gfunction_edge_clearance).
+GFUNC_EDGES = (
+    0.04396936481721998,
+    0.07150326764937243,
+    0.09991659577482068,
+    0.12184128470952205,
+)
+
+
+def q_gfunction(spark, sf_dir):
+    """G FUNCTION (nearest-neighbour distance distribution): the count
+    of points whose NN distance is <= r, for each clearance-pinned
+    edge — Ripley's K's first-order sibling (spatstat's Gest), the
+    standard test for clustering vs inhibition at the point scale.
+    G_hat(r) = count/n; the division is a driver constant, so the
+    engine emits INTEGER counts and stays hash-exact.
+
+    Physical plan: exact kNN at k=1 (the engine's two-phase cogroup
+    plan — this IS the headline query with a smaller merge), then 4
+    conditional sums in one JVM agg. No new shuffle shape."""
+    pts, stats = _geo_points(spark, sf_dir)
+    nn = knn_self_join(pts, k=1, d=3, stats=stats)
+    row = nn.agg(
+        *[
+            F.sum((F.col("dist") <= F.lit(r)).cast("bigint")).alias(f"c{i}")
+            for i, r in enumerate(GFUNC_EDGES)
+        ]
+    )
+    stack = ", ".join(
+        f"CAST({i} AS BIGINT), c{i}" for i in range(len(GFUNC_EDGES))
+    )
+    return row.selectExpr(
+        f"stack({len(GFUNC_EDGES)}, {stack}) AS (r_idx, pts)"
+    )
+
+
+def sql_gfunction():
+    d = "sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z))"
+    edges = ", ".join(f"({i}, {r!r})" for i, r in enumerate(GFUNC_EDGES))
+    return (
+        _PTS_CTE
+        + f", nn AS (SELECT a.id, min({d}) AS nnd FROM xyz a JOIN xyz b"
+        " ON a.id <> b.id GROUP BY a.id)"
+        " SELECT CAST(e.r_idx AS BIGINT) AS r_idx,"
+        " CAST(count(*) FILTER (WHERE nn.nnd <= e.edge) AS BIGINT) AS pts"
+        f" FROM nn CROSS JOIN (VALUES {edges}) e(r_idx, edge) GROUP BY 1"
+    )
+
+
 def q_geo_rknn(spark, sf_dir):
     """REVERSE kNN influence counts: for every point, how many other
     points have it among their k nearest — the classic RkNN "influence
@@ -3964,6 +4017,7 @@ def catalog():
         "geo_ball_join": (q_geo_ball_join, sql_geo_ball_join()),
         "geo_haversine_join": (q_geo_haversine_join, sql_geo_haversine_join()),
         "ripley_k": (q_ripley_k, sql_ripley_k()),
+        "gfunction": (q_gfunction, sql_gfunction()),
         "geo_knn": (q_geo_knn, sql_geo_knn()),
         "geo_knn_filtered": (q_geo_knn_filtered, sql_geo_knn_filtered()),
         "pip_convex": (q_pip_convex, sql_pip_convex()),

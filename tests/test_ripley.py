@@ -45,6 +45,37 @@ def test_ripley_edge_clearance():
         assert gap > 1e-7, f"pair distance within {gap} of edge {r}"
 
 
+def test_gfunction_edge_clearance():
+    """min |nn_dist - edge| over every point's NN distance at sf0.01
+    must beat the cross-engine evaluation bound by orders of
+    magnitude, for EVERY G-function bin edge."""
+    X = _doc_xyz(SF_SMALL)
+    D = np.sqrt(ct.pairwise_sq_dists(X, X))
+    np.fill_diagonal(D, np.inf)
+    nn = D.min(axis=1)
+    for r in Q.GFUNC_EDGES:
+        gap = float(np.abs(nn - r).min())
+        assert gap > 1e-7, f"NN distance within {gap} of edge {r}"
+
+
+def test_gfunction_counts_match_numpy(spark):
+    """Engine G-function counts == the definition (numpy brute-force
+    NN distances) on the same f32-representable xyz; counts are a
+    nondecreasing CDF numerator bounded by n."""
+    X = _doc_xyz(SF_SMALL)
+    D = np.sqrt(ct.pairwise_sq_dists(X, X))
+    np.fill_diagonal(D, np.inf)
+    nn = D.min(axis=1)
+    want = [(i, int((nn <= r).sum())) for i, r in enumerate(Q.GFUNC_EDGES)]
+    got = sorted(
+        (r["r_idx"], r["pts"])
+        for r in Q.catalog()["gfunction"][0](spark, SF_SMALL).collect()
+    )
+    assert got == want
+    assert all(a[1] <= b[1] for a, b in zip(got, got[1:]))
+    assert got[-1][1] <= len(X)
+
+
 def test_ripley_counts_match_numpy(spark):
     """The engine's cumulative bin counts == the definition evaluated
     directly (numpy brute force) on the same f32-representable xyz."""
