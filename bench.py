@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "ripley_k",
     "gfunction",
     "traj_interp",
+    # cross-table NN join (external query set over the events layout)
+    "nn_event",
     # NOT benched: traj_coverage — its radius (TRAJ_R) is calibrated
     # against the sf0.01 chord-distance spectrum for the oracle gate;
     # at sf0.1 the same ball is density-pathological (edge blow-up),
