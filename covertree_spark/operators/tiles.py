@@ -727,3 +727,107 @@ def sql_tile_proximity(
         f"SELECT tile, CAST(min(d) AS BIGINT) AS dist FROM s "
         f"WHERE ty >= 0 AND ty < {n} GROUP BY 1"
     )
+
+
+def tile_gradient(
+    points: DataFrame, zoom: int, lon_col: str = "lon", lat_col: str = "lat"
+) -> DataFrame:
+    """GRADIENT map algebra (GDAL slope/aspect's integer core): for
+    every occupied tile the central-difference gradient of the point-
+    count raster, gx = cnt(x+1,y) - cnt(x-1,y) with longitude wrap,
+    gy = cnt(x,y+1) - cnt(x,y-1) with latitude clamp, absent
+    neighbors counting 0 (reference raster family has no analog; this
+    extends the tile_focal_sum/tile_lisa map-algebra layer the
+    north_rule's raster<->vector clause requires).
+
+    Physical plan (Spark-first, scatter formulation like
+    tile_focal_sum): ONE O(points) histogram groupBy, then each
+    occupied tile scatters +cnt/-cnt to the 4 rook neighbors tagged
+    by axis, one histogram-sized groupBy sums arrivals per axis, and
+    an equi-join restricts to occupied tiles. At 10^12 points
+    everything after the histogram is O(occupied tiles). Integer-
+    exact in both engines; hash equality vs the oracle's GATHER
+    formulation (4 LEFT JOINs) proves the scatter/gather identity
+    under wrap/clamp.
+
+    Returns (tile, cnt, gx, gy)."""
+    assert zoom >= 2, "ring offsets collapse below 4x4 grids"
+    n = 1 << zoom
+    h = tile_histogram(points, zoom, lon_col, lat_col)
+    # (dx, dy, axis, sign): source at (x,y) contributes sign*cnt to
+    # the AXIS-gradient of the tile at (x+dx, y+dy) — e.g. this tile
+    # is the x+1 neighbor of (x-1, y), so it adds +cnt to that gx.
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(dx).alias("dx"),
+                    F.lit(dy).alias("dy"),
+                    F.lit(ax).alias("ax"),
+                    F.lit(sg).alias("sg"),
+                )
+                for dx, dy, ax, sg in (
+                    (-1, 0, 0, 1),
+                    (1, 0, 0, -1),
+                    (0, -1, 1, 1),
+                    (0, 1, 1, -1),
+                )
+            ]
+        )
+    ).alias("o")
+    tx = ((F.col("tile") - F.col("tile") % n) / n).cast("bigint")
+    scattered = (
+        h.select("tile", "cnt", offs)
+        .select(
+            (
+                F.pmod(tx + F.col("o.dx"), F.lit(n)) * n
+                + (F.col("tile") % n + F.col("o.dy"))
+            ).alias("target"),
+            (F.col("tile") % n + F.col("o.dy")).alias("_ty"),
+            F.col("o.ax").alias("ax"),
+            (F.col("o.sg") * F.col("cnt")).alias("contrib"),
+        )
+        .where((F.col("_ty") >= 0) & (F.col("_ty") < n))
+        .groupBy(F.col("target").alias("tile"))
+        .agg(
+            F.sum(F.when(F.col("ax") == 0, F.col("contrib")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("gx"),
+            F.sum(F.when(F.col("ax") == 1, F.col("contrib")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("gy"),
+        )
+    )
+    return (
+        h.join(scattered, "tile", "left")
+        .select(
+            "tile",
+            "cnt",
+            F.coalesce("gx", F.lit(0)).cast("bigint").alias("gx"),
+            F.coalesce("gy", F.lit(0)).cast("bigint").alias("gy"),
+        )
+    )
+
+
+def sql_tile_gradient(tile_expr: str, zoom: int, table: str = "documents") -> str:
+    """ANSI-SQL oracle for ``tile_gradient`` — the GATHER formulation:
+    per occupied tile, LEFT JOIN the four rook neighbors and take the
+    central differences directly (COALESCE 0 for absent / clamped-out
+    neighbors)."""
+    n = 1 << zoom
+    ix = f"CAST(floor(a.tile / {n}.0) AS BIGINT)"
+    iy = f"a.tile % {n}"
+    jkey = lambda dx, dy: (
+        f"(({ix} + {dx}) % {n} + {n}) % {n} * {n} + ({iy} + {dy})"
+    )
+    return (
+        f"WITH h AS (SELECT {tile_expr} AS tile, count(*) AS cnt FROM {table} GROUP BY 1) "
+        f"SELECT a.tile AS tile, a.cnt AS cnt, "
+        f"CAST(coalesce(e.cnt, 0) - coalesce(w.cnt, 0) AS BIGINT) AS gx, "
+        f"CAST(coalesce(nn.cnt, 0) - coalesce(s.cnt, 0) AS BIGINT) AS gy "
+        f"FROM h a "
+        f"LEFT JOIN h e ON e.tile = {jkey(1, 0)} "
+        f"LEFT JOIN h w ON w.tile = {jkey(-1, 0)} "
+        f"LEFT JOIN h nn ON nn.tile = {jkey(0, 1)} AND {iy} + 1 < {n} "
+        f"LEFT JOIN h s ON s.tile = {jkey(0, -1)} AND {iy} - 1 >= 0 "
+    )

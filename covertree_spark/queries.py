@@ -4073,6 +4073,174 @@ def q_ivf_topk(spark, sf_dir):
 
 # ---- registry ------------------------------------------------------------------
 
+# skyline reference point (lon, lat) — arbitrary fixed anchor; the
+# SAME literal fragment renders in both engines.
+SKY_REF_LON = "CAST(0 AS DOUBLE)"
+SKY_REF_LAT = "CAST(0 AS DOUBLE)"
+
+
+def q_geo_skyline(spark, sf_dir):
+    """SKYLINE / pareto-frontier preference query: the documents whose
+    (great-circle distance to a fixed anchor, n_chars) pair is not
+    dominated — no other doc both closer-or-equal AND
+    longer-or-equal with one strict. The multi-objective pick a
+    curation pipeline runs ("nearest AND highest-quality"); the
+    reference's ordering surface stops at top-k (SURVEY §2.7), this
+    is the lattice generalization.
+
+    Physical plan: distance is the op-order-mirrored INTEGER-metre
+    haversine rendered from the shared SQL fragment (pure JVM — the
+    engine executes the same expression text the oracle does), then
+    the two-phase skyline: phase 1 filters inside 64 hash buckets in
+    parallel (dominance is partition-independent), phase 2 re-filters
+    the ~O(log n) survivors in one tiny window. No UDFs, no
+    O(n^2) dominance join anywhere."""
+    from .operators.skyline import skyline_2d
+
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    m = geometry.sql_haversine_m_int("lon", "lat", SKY_REF_LON, SKY_REF_LAT)
+    docs = src.load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "n_chars"
+    )
+    t = pts.withColumn("dist_m", F.expr(m)).join(docs, "id").select(
+        F.col("id").alias("doc_id"),
+        F.col("dist_m").cast("bigint").alias("dist_m"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return skyline_2d(t, "dist_m", "n_chars")
+
+
+def sql_geo_skyline():
+    from .operators.skyline import sql_skyline_2d
+
+    m = geometry.sql_haversine_m_int("lon", "lat", SKY_REF_LON, SKY_REF_LAT)
+    inner = (
+        f"SELECT d.doc_id, CAST({m} AS BIGINT) AS dist_m, "
+        f"CAST(d.n_chars AS BIGINT) AS n_chars FROM documents d, "
+        f"(SELECT doc_id AS pid, {_LON_E} AS lon, {_LAT_E} AS lat "
+        f"FROM documents) p WHERE p.pid = d.doc_id"
+    )
+    return sql_skyline_2d(inner, "dist_m", "n_chars", "doc_id, dist_m, n_chars")
+
+
+def q_tile_gradient(spark, sf_dir):
+    """CENTRAL-DIFFERENCE GRADIENT over the occupancy raster (the
+    integer core of GDAL slope/aspect): per occupied HIST_Z tile,
+    gx = cnt(E) - cnt(W) (lon wraps), gy = cnt(N) - cnt(S) (lat
+    clamps, absent tiles count 0). Extends the map-algebra family
+    (focal_sum / lisa / proximity / mode_resample). One O(points)
+    histogram; everything after is O(occupied tiles). Hash equality
+    vs the oracle's 4-way LEFT-JOIN gather proves the scatter/gather
+    identity under wrap/clamp, integer-exact."""
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    return tiles.tile_gradient(pts, HIST_Z)
+
+
+def sql_tile_gradient():
+    t = cellcodec.sql_cell_expr(_LON_E, _LAT_E, HIST_Z)
+    return tiles.sql_tile_gradient(t, HIST_Z)
+
+
+def q_mutual_knn(spark, sf_dir):
+    """MUTUAL (reciprocal) kNN pairs: unordered pairs where EACH point
+    is in the other's exact kNN — the symmetrized graph UMAP-style
+    manifold pipelines and reciprocal-rank dedup start from, read
+    directly off the engine's verified kNN output.
+
+    Physical plan: the two-phase exact kNN (the headline plan), then
+    ONE self-equi-join of its (src,dst) edge stream on the swapped
+    key — O(nk) rows keyed on a 2-tuple, hash-balanced, no point
+    payloads move (ids only)."""
+    pts, stats = _geo_points(spark, sf_dir)
+    knn = knn_self_join(pts, k=KNN_K, d=3, stats=stats).select(
+        "src", "dst", F.col("rank").cast("bigint").alias("rank")
+    )
+    a, b = knn.alias("a"), knn.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")),
+        )
+        .where(F.col("a.src") < F.col("a.dst"))
+        .select(
+            F.col("a.src").alias("a"),
+            F.col("a.dst").alias("b"),
+            F.col("a.rank").alias("rank_ab"),
+            F.col("b.rank").alias("rank_ba"),
+        )
+    )
+
+
+def sql_mutual_knn():
+    return (
+        f"WITH knn AS ({sql_geo_knn()}) "
+        "SELECT a.src AS a, a.dst AS b, a.rank AS rank_ab, b.rank AS rank_ba "
+        "FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src "
+        "WHERE a.src < a.dst"
+    )
+
+
+def q_knn_outlier(spark, sf_dir):
+    """kNN OUTLIER FACTOR (LOF-style density ratio, exact-rational
+    form): per point, num/den = k * S(p) / sum over p's neighbors of
+    S(n), where S(x) = sum of squared INTEGER-metre distances to x's
+    exact kNN. Ratio > 1 flags points sparser than their
+    neighborhood — the spatial-anomaly staple. All-integer arithmetic
+    (m <= 2e7 so k*S <= 4e16 < 2^63), so the (num, den) BIGINT pair
+    is hash-exact with no float-summation-order caveat.
+
+    Physical plan: ONE exact-kNN pass (verified two-phase plan), the
+    op-order-mirrored metre finalize (nn_event's discipline), an
+    id-keyed partial agg for S, and one edge-stream join keyed on dst
+    — every post-kNN stage is O(nk) ids+ints, no vectors move."""
+    import pandas as pd
+
+    pts, stats = _geo_points(spark, sf_dir)
+    knn = knn_self_join(pts, k=KNN_K, d=3, stats=stats)
+
+    def metres(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lon1, lat1 = geometry.lonlat_from_id(pdf["src"].to_numpy())
+            lon2, lat2 = geometry.lonlat_from_id(pdf["dst"].to_numpy())
+            m = geometry.haversine_m_int(lon1, lat1, lon2, lat2)
+            yield pd.DataFrame({"src": pdf["src"], "dst": pdf["dst"], "m": m})
+
+    md = knn.select("src", "dst").mapInPandas(
+        metres, schema="src bigint, dst bigint, m bigint"
+    )
+    s = md.groupBy(F.col("src").alias("id")).agg(
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("s2")
+    )
+    return (
+        md.join(s.select(F.col("id").alias("dst"), F.col("s2").alias("_sb")), "dst")
+        .groupBy("src")
+        .agg(F.sum("_sb").cast("bigint").alias("den"))
+        .join(s.select(F.col("id").alias("src"), "s2"), "src")
+        .select(
+            F.col("src").alias("id"),
+            (F.lit(KNN_K) * F.col("s2")).cast("bigint").alias("num"),
+            "den",
+        )
+    )
+
+
+def sql_knn_outlier():
+    m = geometry.sql_haversine_m_int("pa.lon", "pa.lat", "pb.lon", "pb.lat")
+    return (
+        f"WITH knn AS ({sql_geo_knn()}), "
+        f"p AS (SELECT doc_id AS id, {_LON_E} AS lon, {_LAT_E} AS lat FROM documents), "
+        f"md AS (SELECT knn.src, knn.dst, {m} AS m FROM knn "
+        "JOIN p pa ON pa.id = knn.src JOIN p pb ON pb.id = knn.dst), "
+        "s AS (SELECT src AS id, CAST(sum(m*m) AS BIGINT) AS s2 FROM md GROUP BY 1) "
+        f"SELECT sa.id AS id, CAST({KNN_K} * any_value(sa.s2) AS BIGINT) AS num, "
+        "CAST(sum(sb.s2) AS BIGINT) AS den "
+        "FROM md JOIN s sa ON sa.id = md.src JOIN s sb ON sb.id = md.dst "
+        "GROUP BY sa.id"
+    )
+
+
 def catalog():
     """name -> (spark_fn, oracle_sql_or_None)"""
     return {
@@ -4178,6 +4346,10 @@ def catalog():
         "geo_hull": (q_geo_hull, sql_geo_hull()),
         "geo_isolated": (q_geo_isolated, sql_geo_isolated()),
         "knn_regress": (q_knn_regress, sql_knn_regress()),
+        "geo_skyline": (q_geo_skyline, sql_geo_skyline()),
+        "tile_gradient": (q_tile_gradient, sql_tile_gradient()),
+        "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
+        "knn_outlier": (q_knn_outlier, sql_knn_outlier()),
         "minhash_neardup": (q_minhash_neardup, None),
         "simhash_neardup": (q_simhash_neardup, None),
         "doc_fingerprints": (q_doc_fingerprints, None),
