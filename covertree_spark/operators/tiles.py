@@ -831,3 +831,134 @@ def sql_tile_gradient(tile_expr: str, zoom: int, table: str = "documents") -> st
         f"LEFT JOIN h nn ON nn.tile = {jkey(0, 1)} AND {iy} + 1 < {n} "
         f"LEFT JOIN h s ON s.tile = {jkey(0, -1)} AND {iy} - 1 >= 0 "
     )
+
+
+def tile_interp(
+    points: DataFrame,
+    zoom: int,
+    val_col: str,
+    r_km: int = 200,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """VECTOR -> RASTER INTERPOLATION (IDW-family gridding, the
+    gdal_grid staple): for every occupied tile at ``zoom``, the
+    kernel-weighted average of ``val_col`` over nearby points, as the
+    exact rational (num, den) BIGINT pair. The kernel is Epanechnikov
+    in integer kilometres — w = r_km^2 - floor_km(m)^2 for m inside
+    the support, with m the op-order-mirrored integer-metre haversine
+    point->tile-center distance — so every weight is a bounded
+    integer and the sums cross engines bit-exactly.
+
+    Kernel support is (3x3 tile ring) INTERSECT (m < r_km km): the
+    ring bound keeps candidate enumeration O(9) per point and is the
+    op's definition (both engines apply it). At zoom>=6 a 200 km
+    radius fits the ring vertically everywhere (tile height 312 km);
+    near the poles the ring truncates the ball's longitude span — the
+    latitude-adaptive ring is the documented refinement if polar
+    cells ever matter at production scale.
+
+    Physical plan: the ring map is O(occupied x 9) rows — broadcast —
+    so the points side never shuffles: map-side join + partial agg,
+    ONE O(occupied) shuffle of integer partials. At 10^12 points this
+    is a single scan.
+
+    Returns (tile, num, den), den > 0."""
+    assert zoom >= 6, "200 km ring guarantee needs tile height >= 2*r"
+    n = 1 << zoom
+    pt = assign_tiles(points, zoom, lon_col, lat_col)
+    occ = pt.select("tile").distinct()
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("o")
+    cix = ((F.col("c") - F.col("c") % n) / n).cast("bigint")
+    clon_e, clat_e = sql_tile_center_exprs(zoom, "_cix", "_ciy")
+    ring = (
+        occ.select(F.col("tile").alias("c"), offs)
+        .select(
+            "c",
+            (
+                F.pmod(
+                    ((F.col("c") - F.col("c") % n) / n).cast("bigint")
+                    + F.col("o.dx"),
+                    F.lit(n),
+                )
+                * n
+                + (F.col("c") % n + F.col("o.dy"))
+            ).alias("rt"),
+            (F.col("c") % n + F.col("o.dy")).alias("_ty"),
+        )
+        .where((F.col("_ty") >= 0) & (F.col("_ty") < n))
+        .withColumn("_cix", cix)
+        .withColumn("_ciy", F.col("c") % n)
+        .withColumn("clon", F.expr(clon_e))
+        .withColumn("clat", F.expr(clat_e))
+        .select("c", "rt", "clon", "clat")
+    )
+    from ..core import geometry
+
+    m_e = geometry.sql_haversine_m_int(lon_col, lat_col, "clon", "clat")
+    j = (
+        pt.join(F.broadcast(ring), pt["tile"] == ring["rt"])
+        .withColumn("_m", F.expr(m_e))
+        .withColumn(
+            "_kd",
+            F.expr(
+                "CAST(floor(CAST(_m AS DOUBLE) / CAST(1000 AS DOUBLE)) AS BIGINT)"
+            ),
+        )
+        .where(F.col("_kd") < r_km)
+        .withColumn("_w", F.lit(r_km * r_km) - F.col("_kd") * F.col("_kd"))
+    )
+    return (
+        j.groupBy(F.col("c").alias("tile"))
+        .agg(
+            F.sum(F.col("_w") * F.col(val_col)).cast("bigint").alias("num"),
+            F.sum("_w").cast("bigint").alias("den"),
+        )
+    )
+
+
+def sql_tile_interp(
+    tile_expr: str,
+    lon_expr: str,
+    lat_expr: str,
+    zoom: int,
+    val_col: str,
+    r_km: int = 200,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """ANSI-SQL oracle for ``tile_interp`` — identical ring map,
+    center arithmetic, metre quantization, and integer kernel."""
+    from ..core import geometry
+
+    n = 1 << zoom
+    vals = ", ".join(f"({d})" for d in (-1, 0, 1))
+    clon, clat = sql_tile_center_exprs(
+        zoom, f"CAST(floor(c / {n}.0) AS BIGINT)", f"(c % {n})"
+    )
+    m = geometry.sql_haversine_m_int("pt.lon", "pt.lat", "rc.clon", "rc.clat")
+    return (
+        f"WITH pt AS (SELECT {id_col}, {lon_expr} AS lon, {lat_expr} AS lat, "
+        f"{val_col} AS val, {tile_expr} AS tile FROM {table}), "
+        f"h AS (SELECT DISTINCT tile FROM pt), "
+        f"offs AS (SELECT dxs.dx AS dx, dys.dy AS dy FROM (VALUES {vals}) dxs(dx) "
+        f"CROSS JOIN (VALUES {vals}) dys(dy)), "
+        f"rm AS (SELECT h.tile AS c, "
+        f"((CAST(floor(h.tile / {n}.0) AS BIGINT) + dx) % {n} + {n}) % {n} * {n} "
+        f"+ (h.tile % {n} + dy) AS rt, h.tile % {n} + dy AS ty FROM h CROSS JOIN offs), "
+        f"rc AS (SELECT c, rt, {clon} AS clon, {clat} AS clat "
+        f"FROM rm WHERE ty >= 0 AND ty < {n}), "
+        f"j AS (SELECT rc.c, pt.val, {m} AS m FROM pt JOIN rc ON pt.tile = rc.rt), "
+        f"k AS (SELECT c, val, CAST(floor(CAST(m AS DOUBLE) / CAST(1000 AS DOUBLE)) AS BIGINT) AS kd FROM j) "
+        f"SELECT c AS tile, CAST(sum(({r_km}*{r_km} - kd*kd) * val) AS BIGINT) AS num, "
+        f"CAST(sum({r_km}*{r_km} - kd*kd) AS BIGINT) AS den "
+        f"FROM k WHERE kd < {r_km} GROUP BY 1"
+    )

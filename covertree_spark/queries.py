@@ -4141,6 +4141,162 @@ def sql_tile_gradient():
     return tiles.sql_tile_gradient(t, HIST_Z)
 
 
+def q_geohash_assign(spark, sf_dir):
+    """GEOHASH CODEC: 8-char base-32 geohash of every doc's derived
+    point — the second global-partitioner codec next to the quad cell
+    (SURVEY §2.9 H3/S2 row). Geohash prefixes nest, so substring(gh,
+    1, p) is the ancestor cell: hierarchical co-location joins on a
+    string key with no extra codec calls. Pure JVM: the encoder is
+    one shared SQL fragment (floor-division bit extraction — exact in
+    doubles below 2^53 — no dialect-specific bit operators), executed
+    verbatim by both engines. Distributionally this is geo_cell_assign
+    with a different key codomain: a projection on the scan, no
+    shuffle."""
+    from .core.geohash import sql_geohash_expr
+
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    gh = sql_geohash_expr("lon", "lat", 8)
+    return pts.select(F.col("id").alias("doc_id"), F.expr(gh).alias("gh"))
+
+
+def sql_geohash_assign():
+    from .core.geohash import sql_geohash_expr
+
+    gh = sql_geohash_expr(_LON_E, _LAT_E, 8)
+    return f"SELECT doc_id, {gh} AS gh FROM documents"
+
+
+SESS_OV_BUCKET_US = 21_600_000_000  # 6h interval-join buckets
+
+
+def q_session_overlap(spark, sf_dir):
+    """INTERVAL OVERLAP JOIN (concurrent co-located sessions): pairs
+    of sessions from DIFFERENT users that overlap in time AND share
+    the same coarse anchor cell (the lowest-event_id ping's cell),
+    with the overlap length in exact integer microseconds. The
+    contact-tracing / co-presence staple at the INTERVAL level —
+    colocation_pairs buckets instantaneous pings; this joins the
+    derived session intervals themselves.
+
+    Physical plan: sessions come from the hot-key-bounded sessionize
+    (no task holds a full user history), intervals are one partial
+    agg, and the pair join is the canonical bucketed range join —
+    each interval explodes to the 6h buckets it spans (sessions are
+    gap-bounded, so almost always 1-2), pairs match inside (cell,
+    bucket), and the bucket-of-max(start) rule dedups spans without a
+    second distinct. Pair cardinality is quadratic only in concurrent
+    sessions per (cell, bucket) — the crowd-cap quantity, same
+    contract as colocation_pairs. The oracle joins intervals directly
+    with the overlap predicate; hash equality proves the bucketing
+    introduces no duplicates and loses no pairs."""
+    from .operators.sessions import sessionize
+
+    ev = src.load_table(spark, sf_dir, "events")
+    s = sessionize(ev, SESSION_GAP_US)
+    lon_e, lat_e = geometry.sql_lonlat_exprs("event_id")
+    cell = cellcodec.sql_cell_expr(lon_e, lat_e, COLOC_RES)
+    evc = ev.select(
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.expr(cell).alias("cell"),
+    )
+    iv = (
+        s.join(evc, "event_id")
+        .groupBy("user_id", "sess")
+        .agg(
+            F.min("us").alias("s_us"),
+            F.max("us").alias("e_us"),
+            F.expr("min_by(cell, event_id)").alias("acell"),
+        )
+    )
+    B = SESS_OV_BUCKET_US
+    ivb = iv.withColumn(
+        "b", F.explode(F.expr(f"sequence(s_us DIV {B}, e_us DIV {B})"))
+    )
+    a = ivb.select(
+        F.col("user_id").alias("u1"),
+        F.col("sess").alias("s1"),
+        F.col("s_us").alias("a_s"),
+        F.col("e_us").alias("a_e"),
+        F.col("acell").alias("cell"),
+        "b",
+    )
+    bside = ivb.select(
+        F.col("user_id").alias("u2"),
+        F.col("sess").alias("s2"),
+        F.col("s_us").alias("b_s"),
+        F.col("e_us").alias("b_e"),
+        F.col("acell").alias("cell"),
+        "b",
+    )
+    return (
+        a.join(bside, ["cell", "b"])
+        .where(
+            (F.col("u1") < F.col("u2"))
+            & (F.col("a_s") <= F.col("b_e"))
+            & (F.col("b_s") <= F.col("a_e"))
+            & (F.col("b") == F.expr(f"greatest(a_s, b_s) DIV {B}"))
+        )
+        .select(
+            "u1",
+            F.col("s1").cast("bigint").alias("s1"),
+            "u2",
+            F.col("s2").cast("bigint").alias("s2"),
+            (F.least("a_e", "b_e") - F.greatest("a_s", "b_s"))
+            .cast("bigint")
+            .alias("ov_us"),
+        )
+    )
+
+
+def sql_session_overlap():
+    lon_e, lat_e = geometry.sql_lonlat_exprs("event_id")
+    cell = cellcodec.sql_cell_expr(lon_e, lat_e, COLOC_RES)
+    return (
+        f"WITH sz AS ({sql_events_sessionize()}), "
+        f"evc AS (SELECT event_id, epoch_us(ts) AS us, {cell} AS cell FROM events), "
+        "iv AS (SELECT sz.user_id, sz.sess, min(evc.us) AS s_us, "
+        "max(evc.us) AS e_us, arg_min(evc.cell, evc.event_id) AS acell "
+        "FROM sz JOIN evc ON evc.event_id = sz.event_id GROUP BY 1, 2) "
+        "SELECT a.user_id AS u1, CAST(a.sess AS BIGINT) AS s1, "
+        "b.user_id AS u2, CAST(b.sess AS BIGINT) AS s2, "
+        "CAST(least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS BIGINT) AS ov_us "
+        "FROM iv a JOIN iv b ON a.acell = b.acell AND a.user_id < b.user_id "
+        "AND a.s_us <= b.e_us AND b.s_us <= a.e_us"
+    )
+
+
+INTERP_R_KM = 200  # tile_interp kernel radius (fits the HIST_Z ring)
+
+
+def q_tile_interp(spark, sf_dir):
+    """VECTOR -> RASTER INTERPOLATION (gdal_grid's IDW family): per
+    occupied HIST_Z tile, the Epanechnikov-weighted average n_chars
+    over points within 200 km of the tile center (ring-bounded
+    support), returned as the exact rational (num, den) BIGINT pair —
+    integer-kilometre weights, so hash-exact across engines. The
+    inverse of zonal_stats (raster zones summarizing points) — this
+    grids scattered point values ONTO the raster.
+
+    Physical plan: the ring map is O(occupied x 9) — broadcast — so
+    points never shuffle: map-side join, partial agg, ONE O(occupied)
+    shuffle of integer partials. See operators/tiles.tile_interp."""
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    docs = src.load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("n_chars").cast("bigint").alias("val")
+    )
+    return tiles.tile_interp(
+        pts.join(docs, "id"), HIST_Z, "val", r_km=INTERP_R_KM
+    )
+
+
+def sql_tile_interp():
+    t = cellcodec.sql_cell_expr(_LON_E, _LAT_E, HIST_Z)
+    return tiles.sql_tile_interp(
+        t, _LON_E, _LAT_E, HIST_Z, "n_chars", r_km=INTERP_R_KM
+    )
+
+
 def q_mutual_knn(spark, sf_dir):
     """MUTUAL (reciprocal) kNN pairs: unordered pairs where EACH point
     is in the other's exact kNN — the symmetrized graph UMAP-style
@@ -4348,6 +4504,9 @@ def catalog():
         "knn_regress": (q_knn_regress, sql_knn_regress()),
         "geo_skyline": (q_geo_skyline, sql_geo_skyline()),
         "tile_gradient": (q_tile_gradient, sql_tile_gradient()),
+        "tile_interp": (q_tile_interp, sql_tile_interp()),
+        "session_overlap": (q_session_overlap, sql_session_overlap()),
+        "geohash_assign": (q_geohash_assign, sql_geohash_assign()),
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
         "knn_outlier": (q_knn_outlier, sql_knn_outlier()),
         "minhash_neardup": (q_minhash_neardup, None),
