@@ -4141,6 +4141,171 @@ def sql_tile_gradient():
     return tiles.sql_tile_gradient(t, HIST_Z)
 
 
+BUF_BASE_KM, BUF_MOD = 50, 100  # per-doc buffer radius: 50..149 km
+
+
+def q_buffer_join(spark, sf_dir):
+    """VARIABLE-RADIUS BUFFER JOIN (GIS ST_DWithin with a per-feature
+    radius): ordered pairs where dst lies within src's OWN buffer,
+    r_km(src) = 50 + n_chars % 100 — the per-feature-buffer join a
+    fixed-epsilon ball join cannot express. Output carries the
+    integer-metre separation.
+
+    Physical plan: ONE cover-tree chord ball join at the MAX buffer
+    (149 km -> chord) produces the superset candidates — the same
+    verified cogroup plan, ghosts-only shuffle — then the per-pair
+    test is an integer comparison (op-order-mirrored metre vs
+    r_km*1000) after a src-keyed join for n_chars (id-keyed,
+    co-partitioned with the kNN layouts; broadcast-able when the
+    attribute table is small). Radius skew does not unbalance the
+    plan: candidates are generated at the uniform max radius."""
+    import pandas as pd
+
+    pts, stats = _geo_points(spark, sf_dir)
+    r_max_km = BUF_BASE_KM + BUF_MOD - 1
+    chord = geometry.gc_to_chord(r_max_km / geometry.EARTH_RADIUS_KM)
+    pairs = ball_self_join(pts, chord, d=3, stats=stats).select("src", "dst")
+
+    def metres(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lon1, lat1 = geometry.lonlat_from_id(pdf["src"].to_numpy())
+            lon2, lat2 = geometry.lonlat_from_id(pdf["dst"].to_numpy())
+            m = geometry.haversine_m_int(lon1, lat1, lon2, lat2)
+            yield pd.DataFrame({"src": pdf["src"], "dst": pdf["dst"], "m": m})
+
+    md = pairs.mapInPandas(metres, schema="src bigint, dst bigint, m bigint")
+    r = src.load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("src"),
+        ((F.lit(BUF_BASE_KM) + F.col("n_chars") % BUF_MOD) * 1000)
+        .cast("bigint")
+        .alias("_r_m"),
+    )
+    return (
+        md.join(r, "src")
+        .where(F.col("m") <= F.col("_r_m"))
+        .select("src", "dst", "m")
+    )
+
+
+def sql_buffer_join():
+    r_max_km = BUF_BASE_KM + BUF_MOD - 1
+    chord = geometry.gc_to_chord(r_max_km / geometry.EARTH_RADIUS_KM)
+    m = geometry.sql_haversine_m_int("pa.lon", "pa.lat", "pb.lon", "pb.lat")
+    return (
+        _PTS_CTE
+        + f", cand AS (SELECT a.id AS src, b.id AS dst FROM xyz a JOIN xyz b "
+        "ON a.id <> b.id WHERE sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) "
+        f"+ (a.z-b.z)*(a.z-b.z)) <= {chord!r}) "
+        f"SELECT cand.src, cand.dst, {m} AS m FROM cand "
+        "JOIN pts pa ON pa.id = cand.src JOIN pts pb ON pb.id = cand.dst "
+        "JOIN documents d ON d.doc_id = cand.src "
+        f"WHERE {m} <= ({BUF_BASE_KM} + d.n_chars % {BUF_MOD}) * 1000"
+    )
+
+
+SSSP_ROUNDS = 16  # bounded-hop contract: distances over <=16 edges
+
+
+def q_geo_sssp(spark, sf_dir):
+    """BOUNDED-HOP WEIGHTED SHORTEST PATH (Bellman-Ford, 16 rounds)
+    over the epsilon-graph with INTEGER-METRE edge weights, from the
+    same data-derived source as geo_bfs_hops (min-id vertex of the
+    largest component). The op's contract is the <=SSSP_ROUNDS-hop
+    distance — well-defined at any scale, and what makes an exact SQL
+    oracle possible (the oracle unrolls the same rounds as chained
+    CTEs, walk_mass's discipline). Nodes beyond the hop bound report
+    -1. Max path = 16 x 2e7 m, far inside BIGINT.
+
+    Physical plan: edge weights are pure JVM (the shared
+    haversine-metre fragment over both endpoints' derived lon/lat —
+    no Python anywhere); each relaxation round is ONE src-keyed join
+    + one min-combine groupBy, both partial-aggregable; lineage is
+    truncated every 4 rounds (localCheckpoint — the plan-depth
+    discipline from Voronoi/BFS). At 10^12 rows the per-round shuffle
+    is O(frontier edges); the documented refinement is delta-stepping
+    style frontier filtering (only improved vertices re-emit), which
+    changes cost, not results."""
+    from .operators.components import connected_components
+
+    pts, stats = _geo_points(spark, sf_dir)
+    edges = (
+        ball_self_join(pts, GEO_CC_R, d=3, stats=stats)
+        .select("src", "dst")
+        .persist()
+    )
+    comp = connected_components(edges, nodes=pts)
+    pick = (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("c"))
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), "component")).alias("m"))
+        .select(F.col("m.component"))
+        .collect()[0][0]
+    )
+    lon1, lat1 = geometry.sql_lonlat_exprs("src")
+    lon2, lat2 = geometry.sql_lonlat_exprs("dst")
+    w = geometry.sql_haversine_m_int(lon1, lat1, lon2, lat2)
+    ew = edges.withColumn("w", F.expr(w)).persist()
+    d = spark.createDataFrame([(int(pick), 0)], "id long, d long")
+    for i in range(SSSP_ROUNDS):
+        relaxed = (
+            ew.join(
+                d.select(F.col("id").alias("src"), F.col("d").alias("_du")),
+                "src",
+            ).select(F.col("dst").alias("id"), (F.col("_du") + F.col("w")).alias("d"))
+        )
+        d = d.unionByName(relaxed).groupBy("id").agg(F.min("d").alias("d"))
+        if (i + 1) % 4 == 0:
+            d = d.localCheckpoint()
+    return (
+        pts.select("id")
+        .join(d, "id", "left")
+        .select("id", F.coalesce("d", F.lit(-1)).cast("bigint").alias("dist_m"))
+    )
+
+
+def sql_geo_sssp():
+    """DuckDB oracle: same component-derived source, same integer
+    weights, SSSP_ROUNDS relaxation rounds unrolled as chained CTEs
+    (recursive CTEs cannot take the per-round min; unrolling renders
+    the iteration exactly)."""
+    # MATERIALIZED pins each CTE to one evaluation — the unrolled
+    # rounds reference e 16x, and inlining would re-open the parquet
+    # per reference (fd exhaustion). DuckDB-only text; the engine
+    # never parses this string.
+    cte = _PTS_CTE.replace("WITH ", "WITH RECURSIVE ", 1).replace(
+        "pts AS (", "pts AS MATERIALIZED (", 1
+    ).replace("xyz AS (", "xyz AS MATERIALIZED (", 1)
+    dchord = "sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z))"
+    m = geometry.sql_haversine_m_int("pa.lon", "pa.lat", "pb.lon", "pb.lat")
+    rounds = []
+    for i in range(SSSP_ROUNDS):
+        p = f"d{i}"
+        rounds.append(
+            f"d{i + 1} AS MATERIALIZED (SELECT id, min(d) AS d FROM ("
+            f"SELECT id, d FROM {p} UNION ALL "
+            f"SELECT e.dst AS id, {p}.d + e.w AS d FROM {p} "
+            f"JOIN e ON e.src = {p}.id) GROUP BY id)"
+        )
+    return (
+        cte
+        + f", eb AS MATERIALIZED (SELECT a.id AS src, b.id AS dst FROM xyz a JOIN xyz b "
+        f"ON a.id <> b.id WHERE {dchord} <= {GEO_CC_R!r}), "
+        f"e AS MATERIALIZED (SELECT eb.src, eb.dst, {m} AS w FROM eb "
+        "JOIN pts pa ON pa.id = eb.src JOIN pts pb ON pb.id = eb.dst), "
+        "reach AS (SELECT id AS node, id AS label FROM xyz "
+        "UNION SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node), "
+        "comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node), "
+        "srcpick AS (SELECT component FROM (SELECT component, count(*) AS c "
+        "FROM comp GROUP BY component) ORDER BY c DESC, component ASC LIMIT 1), "
+        "d0 AS (SELECT component AS id, CAST(0 AS BIGINT) AS d FROM srcpick), "
+        + ", ".join(rounds)
+        + f" SELECT x.id, CAST(coalesce(dd.d, -1) AS BIGINT) AS dist_m "
+        f"FROM xyz x LEFT JOIN d{SSSP_ROUNDS} dd ON dd.id = x.id"
+    )
+
+
 def q_geohash_assign(spark, sf_dir):
     """GEOHASH CODEC: 8-char base-32 geohash of every doc's derived
     point — the second global-partitioner codec next to the quad cell
@@ -4507,6 +4672,8 @@ def catalog():
         "tile_interp": (q_tile_interp, sql_tile_interp()),
         "session_overlap": (q_session_overlap, sql_session_overlap()),
         "geohash_assign": (q_geohash_assign, sql_geohash_assign()),
+        "geo_sssp": (q_geo_sssp, sql_geo_sssp()),
+        "buffer_join": (q_buffer_join, sql_buffer_join()),
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
         "knn_outlier": (q_knn_outlier, sql_knn_outlier()),
         "minhash_neardup": (q_minhash_neardup, None),
