@@ -373,3 +373,90 @@ def stream_geofence(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_cell_bursts(
+    events: DataFrame,
+    res: int,
+    w_days: int = 7,
+    k: int = 3,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CUSTOM stateful operator: streaming SPATIOTEMPORAL BURST
+    detection — the incremental form of queries.q_cell_bursts. State
+    per cell is (current day, its running count, the W trailing daily
+    counts): O(#cells x (W+2)) integers total, independent of event
+    volume. Each micro-batch folds its events into the per-day counts
+    (day groups processed ascending — the per-cell in-order-logs
+    contract shared with stream_sessionize) and emits a (cell, day,
+    n_events, prior) row whenever the integer cross-multiplied test
+    cnt*W > K*prior currently fires. The test is MONOTONE in the
+    running count with prior fixed (a day's trailing window is
+    complete before its first event under the in-order contract), so
+    in update mode the LAST emission per (cell, day) equals the batch
+    row exactly, and every batch burst is emitted — batch parity is
+    last-per-key, pinned by pytest. prior > 0 mirrors the batch
+    window's NULL-when-empty filter (absent trailing days are zero
+    events in both formulations)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    lon, lat = geometry.sql_lonlat_exprs(id_col)
+    cell = cellcodec.sql_cell_expr(lon, lat, res)
+    ev = events.select(
+        F.col(id_col).alias("event_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    ).withColumn("cell", F.expr(cell.replace(id_col, "event_id")))
+    out_schema = "cell bigint, day bigint, n_events bigint, prior bigint"
+    state_schema = "cur_day bigint, cur_cnt bigint, trail array<bigint>"
+
+    def update_fn(key, pdfs, state):
+        if state.exists:
+            cur_day, cur_cnt, trail = state.get
+            trail = list(trail)
+        else:
+            cur_day, cur_cnt, trail = -1, 0, [0] * w_days
+        c = int(key[0])
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            us = np.sort(pdf["_us"].to_numpy(dtype=np.int64))
+            # op-order-mirrored day derivation: the batch op (and its
+            # oracle) floor an IEEE double division, which can differ
+            # from integer // within ~ulp of a day boundary
+            days = np.floor(us.astype(np.float64) / 86_400_000_000.0).astype(
+                np.int64
+            )
+            out = []
+            for d in np.unique(days):  # ascending
+                d = int(d)
+                n_d = int((days == d).sum())
+                if cur_day < 0:
+                    cur_day, cur_cnt = d, 0
+                elif d > cur_day:
+                    shift = d - cur_day
+                    joined = [cur_cnt] + trail  # counts for cur_day, -1, ...
+                    trail = [
+                        joined[j - shift] if j - shift >= 0 else 0
+                        for j in range(1, w_days + 1)
+                    ]
+                    cur_day, cur_cnt = d, 0
+                cur_cnt += n_d
+                prior = sum(trail)
+                if prior > 0 and cur_cnt * w_days > k * prior:
+                    out.append((c, cur_day, cur_cnt, prior))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["cell", "day", "n_events", "prior"]
+                )
+        state.update((cur_day, cur_cnt, trail))
+
+    return ev.groupBy("cell").applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

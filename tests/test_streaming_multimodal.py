@@ -395,3 +395,64 @@ def test_stream_od_flows_matches_batch(spark, tmp_path):
     want = {tuple(r) for r in q_od_matrix(spark, SF_TINY).collect()}
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_cell_bursts_matches_batch(spark, tmp_path):
+    """Streaming burst detection (applyInPandasWithState, O(cells x W)
+    integer state) drained over time-ordered micro-batches: the LAST
+    emission per (cell, day) equals the batch q_cell_bursts row set
+    (monotone running-count test with the trailing window complete
+    before a day's first event)."""
+    import os
+
+    from covertree_spark.queries import (
+        BURST_K,
+        BURST_RES,
+        BURST_W_DAYS,
+        q_cell_bursts,
+    )
+    from covertree_spark.streaming.ingest import stream_cell_bursts
+    from tests.conftest import SF_TINY
+
+    src = str(tmp_path / "evsrc_b")
+    os.makedirs(src)
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet").select(
+        "event_id", "ts"
+    )
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    step = (len(pdf) + 3) // 4
+    now = 1_700_000_000
+    for i in range(4):
+        p = os.path.join(src, f"chunk{i:03d}.parquet")
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    batch_ev = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch_ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_cell_bursts(
+        stream, BURST_RES, w_days=BURST_W_DAYS, k=BURST_K
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("burst_sink")
+        .option("checkpointLocation", str(tmp_path / "ck_burst"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT cell, day, max_by(n_events, n_events) AS n_events, "
+            "max_by(prior, n_events) AS prior FROM burst_sink GROUP BY 1, 2"
+        ).collect()
+    }
+    want = {tuple(r) for r in q_cell_bursts(spark, SF_TINY).collect()}
+    assert got == want
+    assert len(want) > 0
