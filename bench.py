@@ -132,6 +132,16 @@ BENCH_QUERIES = [
     "traj_interp",
     # cross-table NN join (external query set over the events layout)
     "nn_event",
+    # round-5 batch: preference/raster/graph/interval additions
+    "geo_skyline",
+    "tile_gradient",
+    "tile_interp",
+    "mutual_knn",
+    "knn_outlier",
+    "session_overlap",
+    "geohash_assign",
+    "buffer_join",
+    "geo_sssp",
     # NOT benched: traj_coverage — its radius (TRAJ_R) is calibrated
     # against the sf0.01 chord-distance spectrum for the oracle gate;
     # at sf0.1 the same ball is density-pathological (edge blow-up),
