@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "geohash_assign",
     "buffer_join",
     "geo_sssp",
+    "emb_quantize",
+    "fuzzy_join",
     # NOT benched: traj_coverage — its radius (TRAJ_R) is calibrated
     # against the sf0.01 chord-distance spectrum for the oracle gate;
     # at sf0.1 the same ball is density-pathological (edge blow-up),

@@ -4141,6 +4141,121 @@ def sql_tile_gradient():
     return tiles.sql_tile_gradient(t, HIST_Z)
 
 
+def q_emb_quantize(spark, sf_dir):
+    """INT8 SCALAR QUANTIZATION of the embedding column (the vector-
+    search memory-compression staple): per component q = floor(
+    clip(v, -1, 1) * 127 + 0.5), reported as per-vector integer
+    invariants (sum, sum of squares, min, max, dims) so the whole
+    quantized codebook is hash-checked without shipping arrays
+    through the driver compare. Everything runs in JVM higher-order
+    functions (transform/aggregate) over the Arrow-scanned array —
+    no Python, no shuffle at all: this is a pure projection, the
+    cheapest possible shape at 10^12 rows. The f32 parquet values
+    widen to double identically in both engines, and floor-quantized
+    integers cross engines exactly (the engine's f32 discipline)."""
+    emb = src.load_table(spark, sf_dir, "embeddings")
+    q = (
+        "transform(embedding, v -> CAST(floor(least(greatest("
+        "CAST(v AS DOUBLE), CAST(-1 AS DOUBLE)), CAST(1 AS DOUBLE)) "
+        "* CAST(127 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))"
+    )
+    return emb.select(
+        "vec_id",
+        F.expr(f"aggregate({q}, CAST(0 AS BIGINT), (a, x) -> a + x)").alias("qsum"),
+        F.expr(
+            f"aggregate({q}, CAST(0 AS BIGINT), (a, x) -> a + x * x)"
+        ).alias("qnorm2"),
+        F.expr(f"array_min({q})").cast("bigint").alias("qmin"),
+        F.expr(f"array_max({q})").cast("bigint").alias("qmax"),
+        F.expr("CAST(size(embedding) AS BIGINT)").alias("dims"),
+    )
+
+
+def sql_emb_quantize():
+    # same arithmetic, DuckDB list dialect
+    q = (
+        "list_transform(CAST(embedding AS DOUBLE[]), v -> CAST(floor("
+        "least(greatest(v, CAST(-1 AS DOUBLE)), CAST(1 AS DOUBLE)) "
+        "* CAST(127 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))"
+    )
+    return (
+        f"SELECT vec_id, CAST(list_sum({q}) AS BIGINT) AS qsum, "
+        f"CAST(list_sum(list_transform({q}, x -> x * x)) AS BIGINT) AS qnorm2, "
+        f"CAST(list_min({q}) AS BIGINT) AS qmin, "
+        f"CAST(list_max({q}) AS BIGINT) AS qmax, "
+        f"CAST(len(embedding) AS BIGINT) AS dims FROM embeddings"
+    )
+
+
+FUZZY_PREFIX = 24  # ASCII-normalized key length for the edit-distance join
+
+
+def q_fuzzy_join(spark, sf_dir):
+    """EDIT-DISTANCE (typo) NEAR-DUP JOIN: doc pairs whose ASCII-
+    normalized {FUZZY_PREFIX}-char text prefix is within Levenshtein
+    distance 1 — the fuzzy-matching staple exact-hash dedup misses.
+    The key is lowercased, non-[a-z0-9 ] stripped, then truncated:
+    ASCII-only on purpose (Spark's levenshtein counts codepoints,
+    DuckDB's counts bytes; ASCII makes them the same function).
+
+    Physical plan (FastSS / deletion-neighborhood blocking): each key
+    emits its |s|+1 single-deletion variants via a JVM transform +
+    explode; two keys at distance <= 1 ALWAYS share a variant
+    (equal -> the key itself; substitution at i -> both i-deletions;
+    indel -> the deletion aligning them), so an equi-join on the
+    variant gives complete candidates — O(L) blow-up per row, joined
+    on a short string key, vs the O(n^2) cross join the oracle runs.
+    Verification is one levenshtein call per candidate. Hash equality
+    vs the oracle's direct cross-join definition PROVES the blocking
+    loses no pair at this distance. Production refinement: a max-df
+    cut on hot variants (the engine's shingle discipline) bounds the
+    worst-case candidate blow-up; not applied here so the oracle
+    stays the pure definition."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    key = (
+        f"substring(regexp_replace(lower(text), '[^a-z0-9 ]', ''), 1, {FUZZY_PREFIX})"
+    )
+    p = docs.select(F.col("doc_id").alias("id"), F.expr(key).alias("s"))
+    vars_ = p.select(
+        "id",
+        "s",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(s)), i -> CASE WHEN i = 0 "
+                "THEN s ELSE concat(substring(s, 1, i - 1), "
+                "substring(s, i + 1, length(s))) END)"
+            )
+        ).alias("v"),
+    ).distinct()
+    a, b = vars_.alias("a"), vars_.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("d", F.levenshtein("sa", "sb").cast("bigint"))
+        .where(F.col("d") <= 1)
+        .select("a", "b", "d")
+    )
+
+
+def sql_fuzzy_join():
+    key = (
+        f"substring(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, {FUZZY_PREFIX})"
+    )
+    return (
+        f"WITH p AS (SELECT doc_id AS id, {key} AS s FROM documents) "
+        "SELECT a.id AS a, b.id AS b, CAST(levenshtein(a.s, b.s) AS BIGINT) AS d "
+        "FROM p a JOIN p b ON a.id < b.id WHERE levenshtein(a.s, b.s) <= 1"
+    )
+
+
 BUF_BASE_KM, BUF_MOD = 50, 100  # per-doc buffer radius: 50..149 km
 
 
@@ -4674,6 +4789,8 @@ def catalog():
         "geohash_assign": (q_geohash_assign, sql_geohash_assign()),
         "geo_sssp": (q_geo_sssp, sql_geo_sssp()),
         "buffer_join": (q_buffer_join, sql_buffer_join()),
+        "emb_quantize": (q_emb_quantize, sql_emb_quantize()),
+        "fuzzy_join": (q_fuzzy_join, sql_fuzzy_join()),
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
         "knn_outlier": (q_knn_outlier, sql_knn_outlier()),
         "minhash_neardup": (q_minhash_neardup, None),
