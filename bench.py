@@ -144,6 +144,10 @@ BENCH_QUERIES = [
     "geo_sssp",
     "emb_quantize",
     "fuzzy_join",
+    "cross_k",
+    "tile_moran",
+    "cell_trend",
+    "tile_contours",
     # NOT benched: traj_coverage — its radius (TRAJ_R) is calibrated
     # against the sf0.01 chord-distance spectrum for the oracle gate;
     # at sf0.1 the same ball is density-pathological (edge blow-up),

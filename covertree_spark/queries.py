@@ -4141,6 +4141,114 @@ def sql_tile_gradient():
     return tiles.sql_tile_gradient(t, HIST_Z)
 
 
+# Bivariate (cross-type) Ripley K edges: widest-gap midpoints of the
+# sf0.01 doc-event chord spectrum near the ripley_k targets (measured
+# gaps 2.0e-5 .. 7.1e-5, orders above the ~4-ulp GEMM-vs-explicit
+# evaluation skew; pinned by test_cross_k_edge_clearance).
+CROSSK_EDGES = (
+    0.01827109988634207,
+    0.04281064416349423,
+    0.0859942329751407,
+    0.1613235865024127,
+)
+
+
+def _cross_points(spark: SparkSession, sf_dir: str):
+    """(points, stats) over the UNION of doc and event ping locations
+    in ONE decomposition, ids parity-tagged (2*doc_id / 2*event_id+1)
+    so both types live in the same aligned hash(cell) layout and any
+    self-join machinery answers CROSS-TYPE questions by a parity
+    filter. Warehouse-committed like the other layouts."""
+    key = _prep_key(spark, sf_dir, "cross")
+    if key not in _PREP_CACHE:
+        n = src.load_table(spark, sf_dir, "documents").count() + src.load_table(
+            spark, sf_dir, "events"
+        ).count()
+        res = adaptive_geo_res(n, spark.sparkContext.defaultParallelism)
+        hot = max(1024, (8 * n) // cellcodec.num_cells(res))
+
+        def build():
+            d = src.doc_points_lonlat(spark, sf_dir).select(
+                (F.col("id") * 2).alias("id"), "lon", "lat"
+            )
+            e = src.event_points_lonlat(spark, sf_dir).select(
+                (F.col("id") * 2 + 1).alias("id"), "lon", "lat"
+            )
+            ll = assign_cells(d.unionByName(e), res=res)
+            ll2 = split_hot_cells(ll, res, max_cell_size=hot)
+            fine = cellcodec.sql_cell_expr("lon", "lat", res + 2)
+            ll2 = ll2.withColumn("cell_fine", F.expr(fine))
+            xyz = src.points_xyz(
+                d.unionByName(e)
+            )
+            return xyz.join(
+                ll2.select("id", F.col("pcell").alias("cell"), "cell_fine"), "id"
+            )
+
+        pts, stats, snap = _checkpointed_layout(
+            spark,
+            "cross_points",
+            {"sf_dir": sf_dir.rstrip("/"), "res": res, "hot": hot, "d": 3,
+             "v": LAYOUT_V},
+            build,
+            d=3,
+        )
+        _prep_insert(key, (pts, stats))
+        _PREP_SNAP[key] = snap
+    return _PREP_CACHE[key]
+
+
+def q_cross_k(spark, sf_dir):
+    """BIVARIATE (cross-type) RIPLEY K numerator: the count of
+    (document, event) pairs within chord radius r at each
+    CROSSK_EDGES bin — spatstat's Kcross, the standard test for
+    attraction/repulsion BETWEEN two point processes (are pages'
+    derived locations clustered around activity pings, beyond
+    chance?). Integer pair counts; K_hat's normalization is a driver
+    constant (ripley_k's discipline).
+
+    Physical plan: docs and events share ONE aligned union layout
+    (ids parity-tagged — _cross_points), so the cross-pair stream is
+    the engine's verified cogroup ball join at r_max plus a parity
+    filter (even src, odd dst keeps exactly one direction of every
+    cross pair), then 4 conditional sums in one JVM agg. No new join
+    shape; the union shuffle is the amortized, warehouse-committed
+    ingest."""
+    pts, stats = _cross_points(spark, sf_dir)
+    pairs = ball_self_join(pts, CROSSK_EDGES[-1], d=3, stats=stats).where(
+        (F.col("src") % 2 == 0) & (F.col("dst") % 2 == 1)
+    )
+    row = pairs.agg(
+        *[
+            F.sum((F.col("dist") <= F.lit(r)).cast("bigint")).alias(f"c{i}")
+            for i, r in enumerate(CROSSK_EDGES)
+        ]
+    )
+    stack = ", ".join(
+        f"CAST({i} AS BIGINT), c{i}" for i in range(len(CROSSK_EDGES))
+    )
+    return row.selectExpr(
+        f"stack({len(CROSSK_EDGES)}, {stack}) AS (r_idx, pairs)"
+    )
+
+
+def sql_cross_k():
+    elon, elat = geometry.sql_lonlat_exprs("event_id")
+    ex, ey, ez = geometry.sql_xyz_exprs("lon", "lat")
+    d = "sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z))"
+    edges = ", ".join(f"({i}, {r!r})" for i, r in enumerate(CROSSK_EDGES))
+    return (
+        _PTS_CTE
+        + f", ep AS (SELECT event_id AS id, {elon} AS lon, {elat} AS lat FROM events), "
+        f"exyz AS (SELECT id, {ex} AS x, {ey} AS y, {ez} AS z FROM ep), "
+        f"dd AS (SELECT {d} AS dist FROM xyz a CROSS JOIN exyz b "
+        f"WHERE {d} <= {CROSSK_EDGES[-1]!r}) "
+        "SELECT CAST(e.r_idx AS BIGINT) AS r_idx, "
+        "CAST(count(*) FILTER (WHERE dd.dist <= e.edge) AS BIGINT) AS pairs "
+        f"FROM dd CROSS JOIN (VALUES {edges}) e(r_idx, edge) GROUP BY 1"
+    )
+
+
 def q_emb_quantize(spark, sf_dir):
     """INT8 SCALAR QUANTIZATION of the embedding column (the vector-
     search memory-compression staple): per component q = floor(
@@ -4184,6 +4292,211 @@ def sql_emb_quantize():
         f"CAST(list_min({q}) AS BIGINT) AS qmin, "
         f"CAST(list_max({q}) AS BIGINT) AS qmax, "
         f"CAST(len(embedding) AS BIGINT) AS dims FROM embeddings"
+    )
+
+
+def q_tile_moran(spark, sf_dir):
+    """GLOBAL MORAN'S I (spatial autocorrelation) over the HIST_Z
+    occupancy raster, as the exact rational (num, den): with
+    z'_i = N*x_i - S (the N-scaled centered count, integer), Moran's
+    I = N * SUM_adjacent-pairs z'_i z'_j / (W * SUM z'_i^2) where W is
+    the number of ordered rook-adjacent pairs — the N^2 scalings
+    cancel, so every term is an integer and the single output row is
+    hash-exact. Population = occupied tiles, rook weights, lon wrap /
+    lat clamp (the raster family's conventions; tile_lisa is the
+    local decomposition of this statistic).
+
+    Physical plan: ONE O(points) histogram, a broadcast 1-row total,
+    two shifted-key equi-joins for the E and N adjacencies (each
+    unordered pair found exactly once), one scalar agg. Everything
+    after the histogram is O(occupied tiles)."""
+    n = 1 << HIST_Z
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    h = tiles.tile_histogram(pts, HIST_Z)
+    tot = h.agg(
+        F.count("*").alias("_n"), F.sum("cnt").alias("_s")
+    )
+    hz = h.crossJoin(F.broadcast(tot)).select(
+        "tile", (F.col("_n") * F.col("cnt") - F.col("_s")).alias("z")
+    )
+    tx = ((F.col("tile") - F.col("tile") % n) / n).cast("bigint")
+    ty = F.col("tile") % n
+    east = (F.pmod(tx + 1, F.lit(n)) * n + ty).alias("nbr")
+    north = F.when(ty + 1 < n, F.col("tile") + 1).alias("nbr")
+    za = hz.select("tile", "z", east, F.lit(0).alias("dir")).unionByName(
+        hz.select("tile", "z", north, F.lit(1).alias("dir"))
+    ).where(F.col("nbr").isNotNull())
+    zb = hz.select(F.col("tile").alias("nbr"), F.col("z").alias("zb"))
+    pairs = za.join(zb, "nbr").select((F.col("z") * F.col("zb")).alias("zz"))
+    cross = pairs.agg(
+        F.sum("zz").alias("_szz"), (F.count("*") * 2).alias("_w")
+    )
+    denom = hz.agg(F.sum(F.col("z") * F.col("z")).alias("_szsq"))
+    return (
+        tot.crossJoin(cross)
+        .crossJoin(denom)
+        .select(
+            F.col("_n").cast("bigint").alias("n"),
+            F.col("_w").cast("bigint").alias("w"),
+            (F.col("_n") * F.lit(2) * F.col("_szz")).cast("bigint").alias("num"),
+            (F.col("_w") * F.col("_szsq")).cast("bigint").alias("den"),
+        )
+    )
+
+
+def sql_tile_moran():
+    n = 1 << HIST_Z
+    t = cellcodec.sql_cell_expr(_LON_E, _LAT_E, HIST_Z)
+    ix = f"CAST(floor(h.tile / {n}.0) AS BIGINT)"
+    iy = f"h.tile % {n}"
+    return (
+        f"WITH h AS (SELECT {t} AS tile, count(*) AS cnt FROM documents GROUP BY 1), "
+        "tot AS (SELECT count(*) AS nn, sum(cnt) AS s FROM h), "
+        "hz AS (SELECT tile, tot.nn * cnt - tot.s AS z FROM h CROSS JOIN tot), "
+        f"adj AS (SELECT h.tile AS tile, (({ix} + 1) % {n}) * {n} + {iy} AS nbr FROM h "
+        f"UNION ALL SELECT h.tile, h.tile + 1 FROM h WHERE {iy} + 1 < {n}), "
+        "pr AS (SELECT a.z * b.z AS zz FROM adj JOIN hz a ON a.tile = adj.tile "
+        "JOIN hz b ON b.tile = adj.nbr), "
+        "agg AS (SELECT sum(zz) AS szz, count(*) * 2 AS w FROM pr), "
+        "dn AS (SELECT sum(z * z) AS szsq FROM hz) "
+        "SELECT CAST(tot.nn AS BIGINT) AS n, CAST(agg.w AS BIGINT) AS w, "
+        "CAST(tot.nn * 2 * agg.szz AS BIGINT) AS num, "
+        "CAST(agg.w * dn.szsq AS BIGINT) AS den "
+        "FROM tot CROSS JOIN agg CROSS JOIN dn"
+    )
+
+
+def q_cell_trend(spark, sf_dir):
+    """PER-CELL DAILY-COUNT TREND (exact-rational OLS slope): for each
+    burst-res cell with >= 2 active days, slope = (n*Sum(t*c) -
+    Sum(t)*Sum(c)) / (n*Sum(t^2) - Sum(t)^2) over its (day, count)
+    series — the growth/decay read-off cell_bursts' threshold test
+    doesn't give. Absolute day indices keep both engines identical
+    (the shared IEEE floor-day derivation); magnitudes stay under
+    ~1e15, inside BIGINT. den > 0 exactly when >= 2 distinct days.
+
+    Physical plan: O(events) collapse to (cell, day), then ONE
+    map-side-combinable moment aggregate per cell — the window-free
+    shape, bounded by cells x days at any event scale."""
+    ev = src.load_table(spark, sf_dir, "events")
+    lon, lat = geometry.sql_lonlat_exprs("event_id")
+    c = cellcodec.sql_cell_expr(lon, lat, BURST_RES)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day = F.expr("CAST(floor(us / CAST(86400000000 AS DOUBLE)) AS BIGINT)")
+    daily = (
+        ev.select(F.expr(c).alias("cell"), us.alias("us"))
+        .withColumn("day", day)
+        .groupBy("cell", "day")
+        .agg(F.count("*").alias("c"))
+    )
+    m = daily.groupBy("cell").agg(
+        F.count("*").alias("_n"),
+        F.sum("day").alias("_st"),
+        F.sum(F.col("day") * F.col("day")).alias("_stt"),
+        F.sum("c").alias("_sc"),
+        F.sum(F.col("day") * F.col("c")).alias("_stc"),
+    )
+    return m.select(
+        "cell",
+        F.col("_n").cast("bigint").alias("n_days"),
+        (F.col("_n") * F.col("_stc") - F.col("_st") * F.col("_sc"))
+        .cast("bigint")
+        .alias("num"),
+        (F.col("_n") * F.col("_stt") - F.col("_st") * F.col("_st"))
+        .cast("bigint")
+        .alias("den"),
+    ).where(F.col("den") > 0)
+
+
+def sql_cell_trend():
+    lon, lat = geometry.sql_lonlat_exprs("event_id")
+    c = cellcodec.sql_cell_expr(lon, lat, BURST_RES)
+    return (
+        f"WITH e AS (SELECT {c} AS cell, CAST(floor(epoch_us(ts) / "
+        "CAST(86400000000 AS DOUBLE)) AS BIGINT) AS day FROM events), "
+        "d AS (SELECT cell, day, count(*) AS c FROM e GROUP BY 1, 2), "
+        "m AS (SELECT cell, count(*) AS n, sum(day) AS st, "
+        "sum(day * day) AS stt, sum(c) AS sc, sum(day * c) AS stc "
+        "FROM d GROUP BY 1) "
+        "SELECT cell, CAST(n AS BIGINT) AS n_days, "
+        "CAST(n * stc - st * sc AS BIGINT) AS num, "
+        "CAST(n * stt - st * st AS BIGINT) AS den "
+        "FROM m WHERE n * stt - st * st > 0"
+    )
+
+
+CONTOUR_T = 2  # contour threshold: tiles with >= T points are "inside"
+
+
+def q_tile_contours(spark, sf_dir):
+    """RASTER -> VECTOR CONTOUR EDGES (the marching-squares boundary
+    read-off): for every tile at or above the occupancy threshold,
+    the rook directions whose neighbor falls below it (absent and
+    beyond-pole neighbors count 0 — the raster family's clamp rule;
+    longitude wraps). The emitted (tile, dir) set IS the iso-contour
+    of the occupancy raster at T, the vectorization step after
+    tile_regions' labeling. dir: 0=E, 1=W, 2=N, 3=S.
+
+    Physical plan: ONE O(points) histogram, 4 shifted-key LEFT joins
+    over the O(occupied) survivors — no geometry, pure integer key
+    arithmetic."""
+    n = 1 << HIST_Z
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    h = tiles.tile_histogram(pts, HIST_Z).persist()
+    inside = h.where(F.col("cnt") >= CONTOUR_T)
+    tx = ((F.col("tile") - F.col("tile") % n) / n).cast("bigint")
+    ty = F.col("tile") % n
+    nbrs = [
+        (0, F.pmod(tx + 1, F.lit(n)) * n + ty, None),
+        (1, F.pmod(tx - 1, F.lit(n)) * n + ty, None),
+        (2, F.col("tile") + 1, ty + 1 < n),
+        (3, F.col("tile") - 1, ty - 1 >= 0),
+    ]
+    outs = []
+    hb = h.select(F.col("tile").alias("nbr"), F.col("cnt").alias("_nc"))
+    for d, key, valid in nbrs:
+        t = inside.select("tile", key.alias("nbr"), F.lit(d).alias("dir"))
+        if valid is not None:
+            # beyond-pole neighbors are absent by definition: emit
+            t = inside.select(
+                "tile",
+                F.when(valid, key).alias("nbr"),
+                F.lit(d).alias("dir"),
+            )
+        outs.append(
+            t.join(hb, "nbr", "left").where(
+                F.coalesce("_nc", F.lit(0)) < CONTOUR_T
+            ).select("tile", F.col("dir").cast("bigint").alias("dir"))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def sql_tile_contours():
+    n = 1 << HIST_Z
+    t = cellcodec.sql_cell_expr(_LON_E, _LAT_E, HIST_Z)
+    ix = f"CAST(floor(i.tile / {n}.0) AS BIGINT)"
+    iy = f"i.tile % {n}"
+    branches = [
+        (0, f"(({ix} + 1) % {n}) * {n} + {iy}", None),
+        (1, f"(({ix} - 1) % {n} + {n}) % {n} * {n} + {iy}", None),
+        (2, "i.tile + 1", f"{iy} + 1 < {n}"),
+        (3, "i.tile - 1", f"{iy} - 1 >= 0"),
+    ]
+    parts = []
+    for d, key, valid in branches:
+        nbr = key if valid is None else f"CASE WHEN {valid} THEN {key} END"
+        parts.append(
+            f"SELECT i.tile AS tile, CAST({d} AS BIGINT) AS dir FROM i "
+            f"LEFT JOIN h nb ON nb.tile = ({nbr}) "
+            f"WHERE coalesce(nb.cnt, 0) < {CONTOUR_T}"
+        )
+    return (
+        f"WITH h AS (SELECT {t} AS tile, count(*) AS cnt FROM documents GROUP BY 1), "
+        f"i AS (SELECT tile FROM h WHERE cnt >= {CONTOUR_T}) "
+        + " UNION ALL ".join(parts)
     )
 
 
@@ -4791,6 +5104,10 @@ def catalog():
         "buffer_join": (q_buffer_join, sql_buffer_join()),
         "emb_quantize": (q_emb_quantize, sql_emb_quantize()),
         "fuzzy_join": (q_fuzzy_join, sql_fuzzy_join()),
+        "cross_k": (q_cross_k, sql_cross_k()),
+        "tile_moran": (q_tile_moran, sql_tile_moran()),
+        "cell_trend": (q_cell_trend, sql_cell_trend()),
+        "tile_contours": (q_tile_contours, sql_tile_contours()),
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
         "knn_outlier": (q_knn_outlier, sql_knn_outlier()),
         "minhash_neardup": (q_minhash_neardup, None),

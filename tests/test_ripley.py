@@ -88,3 +88,43 @@ def test_ripley_counts_match_numpy(spark):
     assert got == want
     # K is cumulative by construction: counts must be nondecreasing
     assert all(a[1] <= b[1] for a, b in zip(got, got[1:]))
+
+
+def _ev_xyz(sf_dir):
+    ids = (
+        pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])
+        ["event_id"].to_numpy()
+    )
+    lon, lat = geometry.lonlat_from_id(ids)
+    return geometry.lonlat_to_xyz(lon, lat).astype(np.float32).astype(np.float64)
+
+
+def test_cross_k_edge_clearance():
+    """min |d - edge| over ALL doc-event cross pairs at sf0.01 must
+    beat the cross-engine evaluation bound by orders of magnitude,
+    for EVERY bivariate bin edge."""
+    X, E = _doc_xyz(SF_SMALL), _ev_xyz(SF_SMALL)
+    mind = np.full(len(Q.CROSSK_EDGES), np.inf)
+    edges = np.array(Q.CROSSK_EDGES)
+    for i in range(0, len(E), 2000):
+        D = np.sqrt(ct.pairwise_sq_dists(X, E[i : i + 2000])).ravel()
+        mind = np.minimum(mind, np.abs(D[:, None] - edges[None, :]).min(0))
+    for r, g in zip(Q.CROSSK_EDGES, mind):
+        assert g > 1e-7, f"cross-pair distance within {g} of edge {r}"
+
+
+def test_cross_k_counts_vs_numpy():
+    """Engine bin counts == the direct numpy definition at sf0.001."""
+    from .conftest import SF_TINY
+
+    X, E = _doc_xyz(SF_TINY), _ev_xyz(SF_TINY)
+    D = np.sqrt(ct.pairwise_sq_dists(X, E)).ravel()
+    want = {i: int((D <= r).sum()) for i, r in enumerate(Q.CROSSK_EDGES)}
+    import tests.conftest as C  # noqa: F401 (spark fixture is session-level)
+    from covertree_spark.plans.session import get_spark
+
+    spark = get_spark(app_name="covertree-tests")
+    got = {
+        r.r_idx: r.pairs for r in Q.q_cross_k(spark, SF_TINY).collect()
+    }
+    assert got == want
