@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "tile_moran",
     "cell_trend",
     "tile_contours",
+    "tile_compare",
     # NOT benched: traj_coverage — its radius (TRAJ_R) is calibrated
     # against the sf0.01 chord-distance spectrum for the oracle gate;
     # at sf0.1 the same ball is density-pathological (edge blow-up),

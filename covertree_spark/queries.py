@@ -4425,6 +4425,73 @@ def sql_cell_trend():
     )
 
 
+def q_tile_compare(spark, sf_dir):
+    """RASTER COMPARISON / RELATIVE-RISK SURFACE: the two occupancy
+    rasters (documents vs events) joined per HIST_Z tile and classed
+    by the integer cross-multiplication d_cnt * E_tot vs e_cnt *
+    D_tot — the standardized-rate test (is this tile doc-heavy or
+    event-heavy relative to the global mix?) with no float rate
+    crossing engines. cls: 1 = doc-heavy (>2x the global ratio),
+    -1 = event-heavy (<1/2x), 0 = balanced; tiles occupied by only
+    one raster keep their count row with the other side 0 (full outer
+    semantics — change detection must see appearances/disappearances).
+
+    Physical plan: two O(points) histograms, one tile-keyed full
+    outer join of O(occupied) rows, one broadcast of the two totals.
+    The map-algebra comparison shape at any scale."""
+    dl = src.doc_points_lonlat(spark, sf_dir)
+    dh = tiles.tile_histogram(dl, HIST_Z).select(
+        "tile", F.col("cnt").alias("d_cnt")
+    )
+    lon, lat = geometry.sql_lonlat_exprs("event_id")
+    c = cellcodec.sql_cell_expr(lon, lat, HIST_Z)
+    eh = (
+        src.load_table(spark, sf_dir, "events")
+        .select(F.expr(c).alias("tile"))
+        .groupBy("tile")
+        .agg(F.count("*").alias("e_cnt"))
+    )
+    j = dh.join(eh, "tile", "full_outer").select(
+        "tile",
+        F.coalesce("d_cnt", F.lit(0)).alias("d_cnt"),
+        F.coalesce("e_cnt", F.lit(0)).alias("e_cnt"),
+    )
+    tot = j.agg(
+        F.sum("d_cnt").alias("_dt"), F.sum("e_cnt").alias("_et")
+    )
+    jj = j.crossJoin(F.broadcast(tot))
+    cls = (
+        F.when(F.col("d_cnt") * F.col("_et") > 2 * F.col("e_cnt") * F.col("_dt"), 1)
+        .when(2 * F.col("d_cnt") * F.col("_et") < F.col("e_cnt") * F.col("_dt"), -1)
+        .otherwise(0)
+    )
+    return jj.select(
+        "tile",
+        F.col("d_cnt").cast("bigint").alias("d_cnt"),
+        F.col("e_cnt").cast("bigint").alias("e_cnt"),
+        cls.cast("bigint").alias("cls"),
+    )
+
+
+def sql_tile_compare():
+    td = cellcodec.sql_cell_expr(_LON_E, _LAT_E, HIST_Z)
+    lon, lat = geometry.sql_lonlat_exprs("event_id")
+    te = cellcodec.sql_cell_expr(lon, lat, HIST_Z)
+    return (
+        f"WITH dh AS (SELECT {td} AS tile, count(*) AS d_cnt FROM documents GROUP BY 1), "
+        f"eh AS (SELECT {te} AS tile, count(*) AS e_cnt FROM events GROUP BY 1), "
+        "j AS (SELECT coalesce(dh.tile, eh.tile) AS tile, "
+        "coalesce(d_cnt, 0) AS d_cnt, coalesce(e_cnt, 0) AS e_cnt "
+        "FROM dh FULL OUTER JOIN eh ON dh.tile = eh.tile), "
+        "tot AS (SELECT sum(d_cnt) AS dt, sum(e_cnt) AS et FROM j) "
+        "SELECT tile, CAST(d_cnt AS BIGINT) AS d_cnt, "
+        "CAST(e_cnt AS BIGINT) AS e_cnt, "
+        "CAST(CASE WHEN d_cnt * et > 2 * e_cnt * dt THEN 1 "
+        "WHEN 2 * d_cnt * et < e_cnt * dt THEN -1 ELSE 0 END AS BIGINT) AS cls "
+        "FROM j CROSS JOIN tot"
+    )
+
+
 CONTOUR_T = 2  # contour threshold: tiles with >= T points are "inside"
 
 
@@ -5108,6 +5175,7 @@ def catalog():
         "tile_moran": (q_tile_moran, sql_tile_moran()),
         "cell_trend": (q_cell_trend, sql_cell_trend()),
         "tile_contours": (q_tile_contours, sql_tile_contours()),
+        "tile_compare": (q_tile_compare, sql_tile_compare()),
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
         "knn_outlier": (q_knn_outlier, sql_knn_outlier()),
         "minhash_neardup": (q_minhash_neardup, None),
