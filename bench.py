@@ -149,6 +149,9 @@ BENCH_QUERIES = [
     "cell_trend",
     "tile_contours",
     "tile_compare",
+    "tile_median",
+    "geo_kcore",
+    "lang_confusion",
     # NOT benched: traj_coverage — its radius (TRAJ_R) is calibrated
     # against the sf0.01 chord-distance spectrum for the oracle gate;
     # at sf0.1 the same ball is density-pathological (edge blow-up),

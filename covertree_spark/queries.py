@@ -4425,6 +4425,148 @@ def sql_cell_trend():
     )
 
 
+def q_tile_median(spark, sf_dir):
+    """GROUPED EXACT MEDIAN (lower median) of n_chars per occupied
+    TILE_Z tile — per-zone order statistics (zonal_stats gives sums;
+    this gives the rank statistic a skew-robust profile needs). The
+    median rank rule floor((n+1)/2) is rendered with the shared
+    floor-division fragment, so rank decisions are engine-identical.
+
+    Physical plan (hot-key-safe by value collapse): ONE O(points)
+    groupBy collapses to (tile, value, count) — the window then runs
+    over DISTINCT VALUES per tile, not rows, so a tile with 10^9
+    docs but bounded value cardinality (n_chars is bounded in
+    practice) never serializes a row-sized partition; the same
+    collapse discipline as cell_bursts. Output (tile, med, n)."""
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    docs = src.load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("n_chars").alias("val")
+    )
+    t = tiles.assign_tiles(pts, TILE_Z).select("id", "tile").join(docs, "id")
+    g = t.groupBy("tile", "val").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window as W
+
+    cum = F.sum("c").over(
+        W.partitionBy("tile").orderBy("val").rowsBetween(W.unboundedPreceding, 0)
+    )
+    n = F.sum("c").over(W.partitionBy("tile"))
+    w = g.select("tile", "val", cum.alias("cum"), n.alias("n"))
+    rank = F.expr("CAST(floor((n + 1) / 2.0) AS BIGINT)")
+    return (
+        w.where(F.col("cum") >= rank)
+        .groupBy("tile")
+        .agg(
+            F.min("val").cast("bigint").alias("med"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+def sql_tile_median():
+    t = cellcodec.sql_cell_expr(_LON_E, _LAT_E, TILE_Z)
+    return (
+        f"WITH v AS (SELECT {t} AS tile, n_chars AS val FROM documents), "
+        "g AS (SELECT tile, val, count(*) AS c FROM v GROUP BY 1, 2), "
+        "w AS (SELECT tile, val, sum(c) OVER (PARTITION BY tile ORDER BY val "
+        "ROWS UNBOUNDED PRECEDING) AS cum, "
+        "sum(c) OVER (PARTITION BY tile) AS n FROM g) "
+        "SELECT tile, CAST(min(val) AS BIGINT) AS med, "
+        "CAST(max(n) AS BIGINT) AS n FROM w "
+        "WHERE cum >= CAST(floor((n + 1) / 2.0) AS BIGINT) GROUP BY 1"
+    )
+
+
+KCORE_K = 3  # core degree threshold
+KCORE_ROUNDS = 12  # bounded-peel contract (exact k-core if converged)
+
+
+def q_geo_kcore(spark, sf_dir):
+    """BOUNDED-ROUND K-CORE PEEL over the epsilon-graph: 12 rounds of
+    "remove vertices with < K surviving neighbors" — the graph-
+    density decomposition community detection and dense-subgraph
+    mining start from. The op's contract is the 12-round peel (equal
+    to the exact k-core whenever peeling converges earlier, which the
+    fixture does; the bounded contract is what an exact unrolled SQL
+    oracle can render — geo_sssp's discipline). Output (id, in_core).
+
+    Physical plan: per round, ONE join of the edge stream against the
+    surviving set on both endpoints + a degree count — all partial-
+    aggregable; lineage truncated every 4 rounds. Edges persist once;
+    the per-round shuffle is O(surviving edges)."""
+    pts, stats = _geo_points(spark, sf_dir)
+    edges = (
+        ball_self_join(pts, GEO_CC_R, d=3, stats=stats)
+        .select("src", "dst")
+        .persist()
+    )
+    alive = pts.select("id")
+    for i in range(KCORE_ROUNDS):
+        deg = (
+            edges.join(alive.select(F.col("id").alias("src")), "src")
+            .join(alive.select(F.col("id").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count("*").alias("_d"))
+            .where(F.col("_d") >= KCORE_K)
+            .select(F.col("src").alias("id"))
+        )
+        alive = deg
+        if (i + 1) % 4 == 0:
+            alive = alive.localCheckpoint()
+    return (
+        pts.select("id")
+        .join(alive.withColumn("_in", F.lit(1)), "id", "left")
+        .select("id", F.coalesce("_in", F.lit(0)).cast("bigint").alias("in_core"))
+    )
+
+
+def sql_geo_kcore():
+    cte = _PTS_CTE.replace("pts AS (", "pts AS MATERIALIZED (", 1).replace(
+        "xyz AS (", "xyz AS MATERIALIZED (", 1
+    )
+    dchord = "sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z))"
+    rounds = []
+    for i in range(KCORE_ROUNDS):
+        p = f"a{i}"
+        rounds.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT {p}.id FROM {p} "
+            f"JOIN e ON e.src = {p}.id JOIN {p} b ON b.id = e.dst "
+            f"GROUP BY {p}.id HAVING count(*) >= {KCORE_K})"
+        )
+    return (
+        cte
+        + f", e AS MATERIALIZED (SELECT a.id AS src, b.id AS dst FROM xyz a "
+        f"JOIN xyz b ON a.id <> b.id WHERE {dchord} <= {GEO_CC_R!r}), "
+        "a0 AS (SELECT id FROM xyz), "
+        + ", ".join(rounds)
+        + f" SELECT x.id, CAST(CASE WHEN k.id IS NULL THEN 0 ELSE 1 END AS BIGINT) "
+        f"AS in_core FROM xyz x LEFT JOIN a{KCORE_ROUNDS} k ON k.id = x.id"
+    )
+
+
+def q_lang_confusion(spark, sf_dir):
+    """LANGUAGE-ID CONFUSION MATRIX: labeled lang x predicted
+    lang_idx with counts — the model-evaluation readout over the
+    engine's own lang_predict decisions, one integer aggregate over
+    its verified output. The eval-harness staple of any corpus
+    pipeline; at 10^12 rows this is a map-side-combined groupBy on a
+    (string, int) key bounded by #langs^2."""
+    pred = q_lang_predict(spark, sf_dir)
+    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        pred.join(docs, "doc_id")
+        .groupBy("lang", "lang_idx")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def sql_lang_confusion():
+    return (
+        f"WITH p AS ({sql_lang_predict()}) "
+        "SELECT d.lang, p.lang_idx, count(*) AS n FROM p "
+        "JOIN documents d ON d.doc_id = p.doc_id GROUP BY 1, 2"
+    )
+
+
 def q_tile_compare(spark, sf_dir):
     """RASTER COMPARISON / RELATIVE-RISK SURFACE: the two occupancy
     rasters (documents vs events) joined per HIST_Z tile and classed
@@ -5176,6 +5318,9 @@ def catalog():
         "cell_trend": (q_cell_trend, sql_cell_trend()),
         "tile_contours": (q_tile_contours, sql_tile_contours()),
         "tile_compare": (q_tile_compare, sql_tile_compare()),
+        "tile_median": (q_tile_median, sql_tile_median()),
+        "geo_kcore": (q_geo_kcore, sql_geo_kcore()),
+        "lang_confusion": (q_lang_confusion, sql_lang_confusion()),
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
         "knn_outlier": (q_knn_outlier, sql_knn_outlier()),
         "minhash_neardup": (q_minhash_neardup, None),
