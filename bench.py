@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "tile_median",
     "geo_kcore",
     "lang_confusion",
+    "user_gini",
+    "events_cube",
     # NOT benched: traj_coverage — its radius (TRAJ_R) is calibrated
     # against the sf0.01 chord-distance spectrum for the oracle gate;
     # at sf0.1 the same ball is density-pathological (edge blow-up),

@@ -4425,6 +4425,97 @@ def sql_cell_trend():
     )
 
 
+def q_user_gini(spark, sf_dir):
+    """PER-USER VISIT-DIVERSITY GINI (mobility predictability): the
+    Gini coefficient of each user's visit-cell count distribution as
+    the exact rational num/den = SUM_ij |c_i - c_j| / (2 * n * S) over
+    the user's COVISIT_RES cell counts — 0 = perfectly even coverage,
+    ->1 = one dominant location. The regularity metric next to
+    user_rog's dispersion moments.
+
+    Physical plan: O(events) collapse to (user, cell, count), then a
+    user-keyed self-join on the collapsed rows — quadratic only in
+    DISTINCT CELLS PER USER, bounded by 4^res at any event volume
+    (the same bound covisit_pairs leans on). All-integer output."""
+    ev = src.load_table(spark, sf_dir, "events")
+    lon, lat = geometry.sql_lonlat_exprs("event_id")
+    c = cellcodec.sql_cell_expr(lon, lat, COVISIT_RES)
+    g = (
+        ev.select("user_id", F.expr(c).alias("cell"))
+        .groupBy("user_id", "cell")
+        .agg(F.count("*").alias("c"))
+    )
+    a = g.select("user_id", F.col("c").alias("ca"))
+    b = g.select("user_id", F.col("c").alias("cb"))
+    pairs = a.join(b, "user_id").groupBy("user_id").agg(
+        F.sum(F.abs(F.col("ca") - F.col("cb"))).alias("_num")
+    )
+    tot = g.groupBy("user_id").agg(
+        F.count("*").alias("_n"), F.sum("c").alias("_s")
+    )
+    return pairs.join(tot, "user_id").select(
+        "user_id",
+        F.col("_num").cast("bigint").alias("num"),
+        (F.lit(2) * F.col("_n") * F.col("_s")).cast("bigint").alias("den"),
+    )
+
+
+def sql_user_gini():
+    lon, lat = geometry.sql_lonlat_exprs("event_id")
+    c = cellcodec.sql_cell_expr(lon, lat, COVISIT_RES)
+    return (
+        f"WITH g AS (SELECT user_id, {c} AS cell, count(*) AS c FROM events "
+        "GROUP BY 1, 2), "
+        "p AS (SELECT a.user_id, CAST(sum(abs(a.c - b.c)) AS BIGINT) AS num "
+        "FROM g a JOIN g b ON a.user_id = b.user_id GROUP BY 1), "
+        "t AS (SELECT user_id, count(*) AS n, sum(c) AS s FROM g GROUP BY 1) "
+        "SELECT p.user_id, p.num, CAST(2 * t.n * t.s AS BIGINT) AS den "
+        "FROM p JOIN t ON t.user_id = p.user_id"
+    )
+
+
+def q_events_cube(spark, sf_dir):
+    """OLAP ROLLUP CUBE over the event raster: counts by (cell, day)
+    with per-cell subtotals and the grand total in ONE aggregate —
+    the overview-drilldown surface a dashboard reads without N
+    separate scans. Spark's rollup() and the oracle's GROUP BY ROLLUP
+    share semantics exactly; NULL group markers are re-encoded as -1
+    so the compare never hinges on NULL ordering.
+
+    Physical plan: rollup is partial-aggregable (Expand + one
+    hash agg) — O(events) scan, O(cells x days) output. The shared
+    IEEE floor-day derivation keeps day keys engine-identical."""
+    ev = src.load_table(spark, sf_dir, "events")
+    lon, lat = geometry.sql_lonlat_exprs("event_id")
+    c = cellcodec.sql_cell_expr(lon, lat, BURST_RES)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day = F.expr("CAST(floor(us / CAST(86400000000 AS DOUBLE)) AS BIGINT)")
+    base = ev.select(F.expr(c).alias("cell"), us.alias("us")).withColumn(
+        "day", day
+    )
+    return (
+        base.rollup("cell", "day")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("cell", F.lit(-1)).cast("bigint").alias("cell"),
+            F.coalesce("day", F.lit(-1)).cast("bigint").alias("day"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+def sql_events_cube():
+    lon, lat = geometry.sql_lonlat_exprs("event_id")
+    c = cellcodec.sql_cell_expr(lon, lat, BURST_RES)
+    return (
+        f"WITH e AS (SELECT {c} AS cell, CAST(floor(epoch_us(ts) / "
+        "CAST(86400000000 AS DOUBLE)) AS BIGINT) AS day FROM events) "
+        "SELECT CAST(coalesce(cell, -1) AS BIGINT) AS cell, "
+        "CAST(coalesce(day, -1) AS BIGINT) AS day, "
+        "CAST(count(*) AS BIGINT) AS n FROM e GROUP BY ROLLUP (cell, day)"
+    )
+
+
 def q_tile_median(spark, sf_dir):
     """GROUPED EXACT MEDIAN (lower median) of n_chars per occupied
     TILE_Z tile — per-zone order statistics (zonal_stats gives sums;
@@ -5321,6 +5412,8 @@ def catalog():
         "tile_median": (q_tile_median, sql_tile_median()),
         "geo_kcore": (q_geo_kcore, sql_geo_kcore()),
         "lang_confusion": (q_lang_confusion, sql_lang_confusion()),
+        "user_gini": (q_user_gini, sql_user_gini()),
+        "events_cube": (q_events_cube, sql_events_cube()),
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
         "knn_outlier": (q_knn_outlier, sql_knn_outlier()),
         "minhash_neardup": (q_minhash_neardup, None),
