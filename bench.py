@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "lang_confusion",
     "user_gini",
     "events_cube",
+    "geo_assortativity",
+    "region_moments",
     # NOT benched: traj_coverage — its radius (TRAJ_R) is calibrated
     # against the sf0.01 chord-distance spectrum for the oracle gate;
     # at sf0.1 the same ball is density-pathological (edge blow-up),

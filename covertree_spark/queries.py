@@ -4425,6 +4425,137 @@ def sql_cell_trend():
     )
 
 
+def q_geo_assortativity(spark, sf_dir):
+    """DEGREE ASSORTATIVITY of the epsilon-graph as the exact
+    rational (num, den): Pearson correlation of endpoint degrees over
+    the directed edge stream — positive means hubs link hubs (the
+    clustered-web signature), negative means hub-leaf mixing. With
+    the symmetric stream the two marginals coincide, so
+    r = (M*Sum(da*db) - Sum(da)^2) / (M*Sum(da^2) - Sum(da)^2) —
+    every term an integer (deg <= component bound, M edge count).
+
+    Physical plan: ONE ball join (the verified cogroup plan), one
+    degree aggregate, two id-keyed joins of the degree table onto the
+    edge stream, one scalar moment agg — all partial-aggregable,
+    no window, no collect."""
+    pts, stats = _geo_points(spark, sf_dir)
+    edges = (
+        ball_self_join(pts, GEO_CC_R, d=3, stats=stats)
+        .select("src", "dst")
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    j = (
+        edges.join(deg.select(F.col("src"), F.col("d").alias("da")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("d").alias("db")),
+            "dst",
+        )
+    )
+    m = j.agg(
+        F.count("*").alias("_m"),
+        F.sum("da").alias("_sa"),
+        F.sum(F.col("da") * F.col("db")).alias("_sab"),
+        F.sum(F.col("da") * F.col("da")).alias("_saa"),
+    )
+    return m.select(
+        F.col("_m").cast("bigint").alias("m"),
+        (F.col("_m") * F.col("_sab") - F.col("_sa") * F.col("_sa"))
+        .cast("bigint")
+        .alias("num"),
+        (F.col("_m") * F.col("_saa") - F.col("_sa") * F.col("_sa"))
+        .cast("bigint")
+        .alias("den"),
+    )
+
+
+def sql_geo_assortativity():
+    dchord = "sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z))"
+    return (
+        _PTS_CTE
+        + f", e AS (SELECT a.id AS src, b.id AS dst FROM xyz a JOIN xyz b "
+        f"ON a.id <> b.id WHERE {dchord} <= {GEO_CC_R!r}), "
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1), "
+        "j AS (SELECT da.d AS da, db.d AS db FROM e "
+        "JOIN deg da ON da.src = e.src JOIN deg db ON db.src = e.dst), "
+        "m AS (SELECT count(*) AS m, sum(da) AS sa, sum(da * db) AS sab, "
+        "sum(da * da) AS saa FROM j) "
+        "SELECT CAST(m AS BIGINT) AS m, "
+        "CAST(m * sab - sa * sa AS BIGINT) AS num, "
+        "CAST(m * saa - sa * sa AS BIGINT) AS den FROM m"
+    )
+
+
+def q_region_moments(spark, sf_dir):
+    """PER-REGION POINT MOMENTS (the zonal statistics of polygonize's
+    output): for each 4-connected occupied region, the member
+    points' exact integer moments on the 16-bit location lattice
+    (n, Sum ux, Sum uy, Sum ux^2, Sum uy^2) — centroid and dispersion
+    read off driver-side as rationals, user_rog's discipline applied
+    to DERIVED zones instead of users. Composes three verified
+    pieces: tile assignment, region labeling, lattice units.
+
+    Physical plan: region labels are O(occupied tiles) -> broadcast
+    join onto the tile-assigned points; ONE map-side-combinable
+    moment aggregate. At 10^12 rows: one scan, one tiny broadcast,
+    one O(regions) result."""
+    from .plans.session import mark_releasable
+
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    hist = mark_releasable(tiles.tile_histogram(pts, HIST_Z).persist())
+    reg = tiles.tile_regions(hist, HIST_Z)
+    ux_e, uy_e = geometry.sql_lonlat_units("id")
+    t = tiles.assign_tiles(pts, HIST_Z).select(
+        "id", "tile", F.expr(ux_e).alias("ux"), F.expr(uy_e).alias("uy")
+    )
+    return (
+        t.join(F.broadcast(reg), "tile")
+        .groupBy("region")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("ux").cast("bigint").alias("sux"),
+            F.sum("uy").cast("bigint").alias("suy"),
+            F.sum(F.col("ux") * F.col("ux")).cast("bigint").alias("suxx"),
+            F.sum(F.col("uy") * F.col("uy")).cast("bigint").alias("suyy"),
+        )
+    )
+
+
+def sql_region_moments():
+    t = cellcodec.sql_cell_expr(_LON_E, _LAT_E, HIST_Z)
+    ux_e, uy_e = geometry.sql_lonlat_units("doc_id")
+    n = 1 << HIST_Z
+    return f"""
+WITH RECURSIVE p AS (
+  SELECT doc_id, {t} AS tile, {ux_e} AS ux, {uy_e} AS uy FROM documents
+), occ AS (
+  SELECT DISTINCT tile FROM p
+), e AS (
+  SELECT a.tile AS src, b.tile AS dst
+  FROM occ a JOIN occ b ON b.tile = a.tile + {n}
+  WHERE a.tile < {(n - 1) * n}
+  UNION ALL
+  SELECT a.tile, b.tile
+  FROM occ a JOIN occ b ON b.tile = a.tile + 1
+  WHERE a.tile % {n} < {n - 1}
+), sym AS (
+  SELECT src, dst FROM e UNION SELECT dst, src FROM e
+), reach AS (
+  SELECT tile AS node, tile AS label FROM occ
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+), regions AS (
+  SELECT node AS tile, MIN(label) AS region FROM reach GROUP BY node
+)
+SELECT r.region, CAST(count(*) AS BIGINT) AS n,
+CAST(sum(p.ux) AS BIGINT) AS sux, CAST(sum(p.uy) AS BIGINT) AS suy,
+CAST(sum(p.ux * p.ux) AS BIGINT) AS suxx,
+CAST(sum(p.uy * p.uy) AS BIGINT) AS suyy
+FROM p JOIN regions r ON r.tile = p.tile
+GROUP BY r.region
+"""
+
+
 def q_user_gini(spark, sf_dir):
     """PER-USER VISIT-DIVERSITY GINI (mobility predictability): the
     Gini coefficient of each user's visit-cell count distribution as
@@ -5414,6 +5545,8 @@ def catalog():
         "lang_confusion": (q_lang_confusion, sql_lang_confusion()),
         "user_gini": (q_user_gini, sql_user_gini()),
         "events_cube": (q_events_cube, sql_events_cube()),
+        "geo_assortativity": (q_geo_assortativity, sql_geo_assortativity()),
+        "region_moments": (q_region_moments, sql_region_moments()),
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
         "knn_outlier": (q_knn_outlier, sql_knn_outlier()),
         "minhash_neardup": (q_minhash_neardup, None),
