@@ -4425,6 +4425,106 @@ def sql_cell_trend():
     )
 
 
+COVER_RES = 6
+COVER_WIN = (-47.3, 61.8, -22.9, 41.7)  # lon0, lon1, lat0, lat1
+
+
+def _cover_ranges():
+    n = 1 << COVER_RES
+    lon0, lon1, lat0, lat1 = COVER_WIN
+    clamp = lambda v: int(min(max(v, 0), n - 1))
+    import math
+
+    ix0 = clamp(math.floor((lon0 + 180.0) / 360.0 * n))
+    ix1 = clamp(math.floor((lon1 + 180.0) / 360.0 * n))
+    iy0 = clamp(math.floor((lat0 + 90.0) / 180.0 * n))
+    iy1 = clamp(math.floor((lat1 + 90.0) / 180.0 * n))
+    return ix0, ix1, iy0, iy1
+
+
+def q_cell_cover(spark, sf_dir):
+    """HIERARCHICAL CELL COVER NORMALIZATION (S2 RegionCoverer's
+    core): the minimal multi-resolution quad-cell set whose union
+    equals the fixture window's res-6 cover — four complete siblings
+    roll up into their parent, iterated res 6 -> 0, so the interior
+    coarsens and only the boundary stays fine. THE standard trick for
+    turning a geometry into a small cell-range predicate (partition
+    pruning at any scale); output (res, cell).
+
+    Physical plan: the base enumerates declaratively (explode x
+    sequence — no driver loop over cells), each coarsening round is
+    ONE parent-keyed groupBy (count==4 -> promote) + an anti-join of
+    promoted children; 6 bounded rounds. Input-data-free by design —
+    the gate proves the cell algebra itself."""
+    ix0, ix1, iy0, iy1 = _cover_ranges()
+    base = (
+        spark.range(ix0, ix1 + 1)
+        .select(F.col("id").alias("ix"))
+        .select(
+            "ix", F.explode(F.expr(f"sequence({iy0}, {iy1})")).alias("iy")
+        )
+        .select(
+            (F.col("ix") * (1 << COVER_RES) + F.col("iy")).alias("cell")
+        )
+    )
+    out = None
+    s = base
+    for r in range(COVER_RES, 0, -1):
+        n = 1 << r
+        half = n >> 1
+        withp = s.select(
+            "cell",
+            (
+                F.expr(f"CAST(floor(cell / {n}.0) AS BIGINT) DIV 2")
+                * half
+                + F.expr(f"(cell % {n}) DIV 2")
+            ).alias("par"),
+        )
+        promoted = (
+            withp.groupBy("par").agg(F.count("*").alias("_c"))
+            .where(F.col("_c") == 4)
+            .select(F.col("par").alias("cell"))
+        )
+        kept = (
+            withp.join(
+                promoted.select(F.col("cell").alias("par")), "par", "left_anti"
+            )
+            .select("cell")
+            .withColumn("res", F.lit(r).cast("bigint"))
+        )
+        out = kept if out is None else out.unionByName(kept)
+        s = promoted
+    s0 = s.withColumn("res", F.lit(0).cast("bigint"))
+    return out.unionByName(s0).select("res", F.col("cell").cast("bigint"))
+
+
+def sql_cell_cover():
+    ix0, ix1, iy0, iy1 = _cover_ranges()
+    parts = [
+        f"s{COVER_RES} AS (SELECT ix.range * {1 << COVER_RES} + iy.range AS cell "
+        f"FROM range({ix0}, {ix1 + 1}) ix, range({iy0}, {iy1 + 1}) iy)"
+    ]
+    sel = []
+    for r in range(COVER_RES, 0, -1):
+        n = 1 << r
+        half = n >> 1
+        par = (
+            f"CAST(floor(cell / {n}.0) AS BIGINT) // 2 * {half} + (cell % {n}) // 2"
+        )
+        parts.append(
+            f"p{r} AS (SELECT {par} AS cell FROM s{r} GROUP BY 1 "
+            f"HAVING count(*) = 4)"
+        )
+        parts.append(
+            f"k{r} AS (SELECT cell FROM s{r} WHERE {par} NOT IN "
+            f"(SELECT cell FROM p{r}))"
+        )
+        parts.append(f"s{r - 1} AS (SELECT cell FROM p{r})")
+        sel.append(f"SELECT CAST({r} AS BIGINT) AS res, cell FROM k{r}")
+    sel.append("SELECT CAST(0 AS BIGINT) AS res, cell FROM s0")
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(sel)
+
+
 def q_geo_assortativity(spark, sf_dir):
     """DEGREE ASSORTATIVITY of the epsilon-graph as the exact
     rational (num, den): Pearson correlation of endpoint degrees over
@@ -5546,6 +5646,7 @@ def catalog():
         "user_gini": (q_user_gini, sql_user_gini()),
         "events_cube": (q_events_cube, sql_events_cube()),
         "geo_assortativity": (q_geo_assortativity, sql_geo_assortativity()),
+        "cell_cover": (q_cell_cover, sql_cell_cover()),
         "region_moments": (q_region_moments, sql_region_moments()),
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
         "knn_outlier": (q_knn_outlier, sql_knn_outlier()),

@@ -460,3 +460,77 @@ def stream_cell_bursts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_asof(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "view",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """CUSTOM stateful operator: STREAMING AS-OF JOIN — the
+    incremental form of queries.q_events_asof (attribution: every
+    click matched to the user's latest view at or before it). State
+    per user is TWO integers (latest view's micros + event id); each
+    micro-batch walks its events in (ts, views-before-clicks,
+    event_id) order so a view at the click's exact timestamp matches,
+    exactly mirroring the batch rule ``v.ts <= c.ts`` with
+    (ts, event_id) DESC preference. Same in-order-logs contract as
+    the other stateful operators; emits one row per click,
+    exactly once — batch parity is a pytest. At 10^6 users this is
+    16 bytes of state per user; the batch op's hot-key-bounded
+    windows are unnecessary here because state replaces history."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events.select(
+        F.col(id_col).alias("event_id"),
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(type_col).alias("_ty"),
+    ).where(F.col(type_col).isin(left_type, right_type))
+    out_schema = (
+        "event_id bigint, user_id bigint, matched_id bigint, lag_us bigint"
+    )
+    state_schema = "v_us bigint, v_id bigint"
+
+    def update_fn(key, pdfs, state):
+        v_us, v_id = state.get if state.exists else (-1, -1)
+        uid = int(key[0])
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            # views sort before clicks at equal timestamps (<= rule)
+            pdf = pdf.assign(_k=(pdf["_ty"] != "view").astype(np.int8))
+            pdf = pdf.sort_values(["_us", "_k", "event_id"], kind="stable")
+            out = []
+            for eid, us, ty in zip(
+                pdf["event_id"].to_numpy(dtype=np.int64),
+                pdf["_us"].to_numpy(dtype=np.int64),
+                pdf["_ty"],
+            ):
+                if ty == "view":
+                    v_us, v_id = int(us), int(eid)
+                else:
+                    if v_id >= 0:
+                        out.append((int(eid), uid, v_id, int(us) - v_us))
+                    else:
+                        out.append((int(eid), uid, -1, -1))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["event_id", "user_id", "matched_id", "lag_us"],
+                )
+        state.update((v_us, v_id))
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -71,3 +71,37 @@ def test_events_cube_single_expand(spark):
     plan = _plan(q_events_cube(spark, SF_TINY))
     assert plan.count("Expand") == 1
     assert "Python" not in plan
+
+
+def test_cell_cover_union_equals_base_and_disjoint(spark):
+    """The normalized cover's expansion back to res-6 cells must equal
+    the base window cover exactly (no gaps, no overlaps)."""
+    from covertree_spark.queries import (
+        COVER_RES,
+        _cover_ranges,
+        q_cell_cover,
+    )
+
+    rows = q_cell_cover(spark, None).collect()
+    expanded = set()
+    for r in rows:
+        res, cell = r.res, r.cell
+        n = 1 << int(res)
+        ix, iy = cell // n, cell % n
+        shift = COVER_RES - int(res)
+        side = 1 << shift
+        for dx in range(side):
+            for dy in range(side):
+                leaf = ((ix << shift) + dx) * (1 << COVER_RES) + (
+                    (iy << shift) + dy
+                )
+                assert leaf not in expanded, "overlapping cover cells"
+                expanded.add(leaf)
+    ix0, ix1, iy0, iy1 = _cover_ranges()
+    base = {
+        ix * (1 << COVER_RES) + iy
+        for ix in range(ix0, ix1 + 1)
+        for iy in range(iy0, iy1 + 1)
+    }
+    assert expanded == base
+    assert len(rows) < len(base)  # it actually coarsened

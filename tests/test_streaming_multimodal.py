@@ -456,3 +456,56 @@ def test_stream_cell_bursts_matches_batch(spark, tmp_path):
     want = {tuple(r) for r in q_cell_bursts(spark, SF_TINY).collect()}
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_asof_matches_batch(spark, tmp_path):
+    """Streaming as-of attribution (two ints of state per user)
+    drained over time-ordered micro-batches equals the batch
+    q_events_asof row set, including the view-at-click-timestamp
+    boundary (views sort before clicks at equal ts)."""
+    import os
+
+    from covertree_spark.queries import q_events_asof
+    from covertree_spark.streaming.ingest import stream_asof
+    from tests.conftest import SF_TINY
+
+    src = str(tmp_path / "evsrc_a")
+    os.makedirs(src)
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    step = (len(pdf) + 3) // 4
+    now = 1_700_000_000
+    for i in range(4):
+        p = os.path.join(src, f"chunk{i:03d}.parquet")
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    batch_ev = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch_ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_asof(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_sink")
+        .option("checkpointLocation", str(tmp_path / "ck_asof"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT event_id, user_id, matched_id, lag_us FROM asof_sink"
+        ).collect()
+    }
+    want = {tuple(r) for r in q_events_asof(spark, SF_TINY).collect()}
+    assert got == want
+    assert len(want) > 0
+    assert any(r[2] >= 0 for r in want)  # real matches exercised
