@@ -4425,6 +4425,64 @@ def sql_cell_trend():
     )
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL CANONICALIZATION DEDUP (the crawl-frontier first pass):
+    messy URLs — query strings, fragments, trailing slashes — are
+    normalized (strip [?#]-suffix, strip one trailing slash, lower)
+    and deduplicated to the lowest doc_id per canonical URL. The
+    fixture derives three decorated variants per canonical page from
+    doc_id arithmetic (the input_hint url shape + the decorations a
+    real crawl sees), so the op does real work: every canonical group
+    has 3 members. Output (doc_id, keep_id, grp_n).
+
+    Physical plan: pure JVM string expressions on the scan, ONE
+    groupBy on the canonical string (map-side combinable min/count),
+    one id-keyed join back — exact_dedup's shape with a derived
+    key."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://Site"),
+        (F.col("doc_id") % _HOST_MOD).cast("string"),
+        F.lit(".example/p/"),
+        F.expr("doc_id DIV 3").cast("string"),
+        F.expr(
+            "CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed' "
+            "WHEN 1 THEN '#section-2' ELSE '/' END"
+        ),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(F.lower(url), "[?#].*$", ""), "/$", ""
+    )
+    d = docs.select("doc_id", canon.alias("canon"))
+    g = d.groupBy("canon").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("grp_n")
+    )
+    return d.join(g, "canon").select(
+        "doc_id",
+        F.col("keep_id").cast("bigint"),
+        F.col("grp_n").cast("bigint"),
+    )
+
+
+def sql_url_dedup():
+    url = (
+        f"concat('https://Site', CAST(doc_id % {_HOST_MOD} AS VARCHAR), "
+        "'.example/p/', CAST(doc_id // 3 AS VARCHAR), "
+        "CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed' "
+        "WHEN 1 THEN '#section-2' ELSE '/' END)"
+    )
+    canon = (
+        f"regexp_replace(regexp_replace(lower({url}), '[?#].*$', ''), '/$', '')"
+    )
+    return (
+        f"WITH d AS (SELECT doc_id, {canon} AS canon FROM documents), "
+        "g AS (SELECT canon, min(doc_id) AS keep_id, count(*) AS grp_n "
+        "FROM d GROUP BY 1) "
+        "SELECT d.doc_id, CAST(g.keep_id AS BIGINT) AS keep_id, "
+        "CAST(g.grp_n AS BIGINT) AS grp_n FROM d JOIN g ON g.canon = d.canon"
+    )
+
+
 COVER_RES = 6
 COVER_WIN = (-47.3, 61.8, -22.9, 41.7)  # lon0, lon1, lat0, lat1
 
@@ -5647,6 +5705,7 @@ def catalog():
         "events_cube": (q_events_cube, sql_events_cube()),
         "geo_assortativity": (q_geo_assortativity, sql_geo_assortativity()),
         "cell_cover": (q_cell_cover, sql_cell_cover()),
+        "url_dedup": (q_url_dedup, sql_url_dedup()),
         "region_moments": (q_region_moments, sql_region_moments()),
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
         "knn_outlier": (q_knn_outlier, sql_knn_outlier()),
