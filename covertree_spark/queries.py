@@ -4425,6 +4425,72 @@ def sql_cell_trend():
     )
 
 
+MEDOID_RES = 2  # medoid cells (16) — each holds enough points to matter
+
+
+def q_cell_medoid(spark, sf_dir):
+    """PER-CELL MEDOID (the 1-median of each coarse cell): the member
+    point minimizing the sum of INTEGER-METRE great-circle distances
+    to every other member, ties to the smaller id — the robust
+    "representative location" statistic (k-medoids' assignment step;
+    centroids can land in the ocean, medoids are real members).
+    Integer sums -> exact argmin in both engines.
+
+    Physical plan: ONE groupBy(cell) feeding a per-cell Arrow kernel
+    (applyInPandas) that evaluates the pairwise metre matrix with the
+    op-order-mirrored haversine and reduces to (medoid, sum) —
+    O(cell^2) inside the cell, zero cross-cell traffic. The coarse
+    res bounds cell population; production picks res so cells fit the
+    kernel budget (the engine's usual decomposition dial)."""
+    import pandas as pd
+
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    cell = cellcodec.sql_cell_expr("lon", "lat", MEDOID_RES)
+    t = pts.withColumn("cell", F.expr(cell))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        lon = pdf["lon"].to_numpy()[order]
+        lat = pdf["lat"].to_numpy()[order]
+        n = len(ids)
+        sums = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            m = geometry.haversine_m_int(
+                np.full(n, lon[i]), np.full(n, lat[i]), lon, lat
+            )
+            sums[i] = int(m.sum())  # includes self (0)
+        j = int(np.lexsort((ids, sums))[0])
+        return pd.DataFrame(
+            {
+                "cell": [pdf["cell"].iloc[0]],
+                "medoid_id": [ids[j]],
+                "sum_m": [sums[j]],
+            }
+        )
+
+    return t.groupBy("cell").applyInPandas(
+        kernel, schema="cell bigint, medoid_id bigint, sum_m bigint"
+    )
+
+
+def sql_cell_medoid():
+    cell = cellcodec.sql_cell_expr(_LON_E, _LAT_E, MEDOID_RES)
+    m = geometry.sql_haversine_m_int("a.lon", "a.lat", "b.lon", "b.lat")
+    return (
+        f"WITH p AS (SELECT doc_id AS id, {_LON_E} AS lon, {_LAT_E} AS lat, "
+        f"{cell} AS cell FROM documents), "
+        f"s AS (SELECT a.cell, a.id, CAST(sum({m}) AS BIGINT) AS sum_m "
+        "FROM p a JOIN p b ON a.cell = b.cell GROUP BY 1, 2) "
+        "SELECT cell, CAST(id AS BIGINT) AS medoid_id, sum_m FROM ("
+        "SELECT cell, id, sum_m, row_number() OVER (PARTITION BY cell "
+        "ORDER BY sum_m ASC, id ASC) AS rn FROM s) WHERE rn = 1"
+    )
+
+
 def q_url_dedup(spark, sf_dir):
     """URL CANONICALIZATION DEDUP (the crawl-frontier first pass):
     messy URLs — query strings, fragments, trailing slashes — are
@@ -5706,6 +5772,7 @@ def catalog():
         "geo_assortativity": (q_geo_assortativity, sql_geo_assortativity()),
         "cell_cover": (q_cell_cover, sql_cell_cover()),
         "url_dedup": (q_url_dedup, sql_url_dedup()),
+        "cell_medoid": (q_cell_medoid, sql_cell_medoid()),
         "region_moments": (q_region_moments, sql_region_moments()),
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
         "knn_outlier": (q_knn_outlier, sql_knn_outlier()),

@@ -534,3 +534,75 @@ def stream_asof(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_travel(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """CUSTOM stateful operator: RUNNING PER-USER TRAVEL DISTANCE —
+    the incremental form of queries.q_user_travel. State per user is
+    three integers (last micros, last event id, metres so far); each
+    micro-batch extends the trajectory with the op-order-mirrored
+    integer-metre haversine over its consecutive pairs (the state
+    supplies the cross-batch predecessor) and emits the user's
+    updated (n_segs, total_m). Integer metres make the running sum
+    order-free, so the final emission per user equals the batch
+    aggregate exactly — parity is last-per-key, pinned by pytest.
+    Same in-order-logs contract as the other stateful operators."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events.select(
+        F.col(id_col).alias("event_id"),
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    )
+    out_schema = "user_id bigint, n_segs bigint, total_m bigint"
+    state_schema = "last_us bigint, last_eid bigint, total_m bigint, n_segs bigint"
+
+    def update_fn(key, pdfs, state):
+        last_us, last_eid, total_m, n_segs = (
+            state.get if state.exists else (0, -1, 0, 0)
+        )
+        uid = int(key[0])
+        emitted = False
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["_us", "event_id"], kind="stable")
+            eids = pdf["event_id"].to_numpy(dtype=np.int64)
+            prev = np.empty_like(eids)
+            prev[0] = last_eid
+            prev[1:] = eids[:-1]
+            last_eid = int(eids[-1])
+            last_us = int(pdf["_us"].iloc[-1])
+            valid = prev >= 0
+            if valid.any():
+                cur, pre = eids[valid], prev[valid]
+                lon1, lat1 = geometry.lonlat_from_id(pre)
+                lon2, lat2 = geometry.lonlat_from_id(cur)
+                m = geometry.haversine_m_int(lon1, lat1, lon2, lat2)
+                total_m += int(m.sum())
+                n_segs += int(valid.sum())
+            emitted = True
+        if emitted:
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "n_segs": [n_segs],
+                    "total_m": [total_m],
+                }
+            )
+        state.update((last_us, last_eid, total_m, n_segs))
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

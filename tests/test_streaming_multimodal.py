@@ -509,3 +509,58 @@ def test_stream_asof_matches_batch(spark, tmp_path):
     assert got == want
     assert len(want) > 0
     assert any(r[2] >= 0 for r in want)  # real matches exercised
+
+
+def test_stream_travel_matches_batch(spark, tmp_path):
+    """Running per-user travel distance (three ints of state per
+    user): the LAST emission per user equals the batch q_user_travel
+    aggregate (integer-metre sums are order-free)."""
+    import os
+
+    from covertree_spark.queries import q_user_travel
+    from covertree_spark.streaming.ingest import stream_travel
+    from tests.conftest import SF_TINY
+
+    src = str(tmp_path / "evsrc_t")
+    os.makedirs(src)
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    step = (len(pdf) + 3) // 4
+    now = 1_700_000_000
+    for i in range(4):
+        p = os.path.join(src, f"chunk{i:03d}.parquet")
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
+        os.utime(p, (now + i, now + i))
+
+    batch_ev = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch_ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_travel(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("travel_sink")
+        .option("checkpointLocation", str(tmp_path / "ck_travel"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.n_segs, r.total_m)
+        for r in spark.sql(
+            "SELECT user_id, max_by(n_segs, n_segs) AS n_segs, "
+            "max_by(total_m, n_segs) AS total_m FROM travel_sink GROUP BY 1"
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.n_segments, r.total_m)
+        for r in q_user_travel(spark, SF_TINY).collect()
+    }
+    assert got == want
+    assert len(want) > 0
