@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "cell_cover",
     "url_dedup",
     "cell_medoid",
+    "curation_pipeline",
     # NOT benched: traj_coverage — its radius (TRAJ_R) is calibrated
     # against the sf0.01 chord-distance spectrum for the oracle gate;
     # at sf0.1 the same ball is density-pathological (edge blow-up),

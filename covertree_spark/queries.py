@@ -4425,6 +4425,45 @@ def sql_cell_trend():
     )
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """END-TO-END CURATION PIPELINE — four verified stages composed
+    into ONE exact query, the shape a production corpus build runs
+    nightly: (1) URL-canonical keeper, (2) normalized-text exact-dedup
+    keeper, (3) integer-predicate quality gate, (4) content-keyed
+    train/val/test assignment. Output: the surviving (doc_id, split)
+    rows. Every stage is individually oracle-gated; this entry gates
+    the COMPOSITION (predicate interaction, join fan-in) as one hash.
+
+    Physical plan: stages 1-2 are canonical-key groupBys, 3-4 are
+    scan-side projections; composition is three id-keyed joins that
+    co-partition on doc_id — Catalyst collapses the scans (one pass
+    over documents per distinct derivation). At 10^12 rows nothing
+    here shuffles more than (id, small-int) pairs after the two
+    dedup aggregations."""
+    u = q_url_dedup(spark, sf_dir).where(
+        F.col("doc_id") == F.col("keep_id")
+    ).select("doc_id")
+    n = q_dedup_norm(spark, sf_dir).select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    q = q_quality_filter(spark, sf_dir).select("doc_id")
+    s = q_dataset_split(spark, sf_dir).select("doc_id", "split")
+    return s.join(u, "doc_id").join(n, "doc_id").join(q, "doc_id")
+
+
+def sql_curation_pipeline():
+    return (
+        f"WITH u AS ({sql_url_dedup()}), "
+        f"nk AS ({sql_dedup_norm()}), "
+        f"qf AS ({sql_quality_filter()}), "
+        f"sp AS ({sql_dataset_split()}) "
+        "SELECT sp.doc_id, sp.split FROM sp "
+        "JOIN u ON u.doc_id = sp.doc_id AND u.doc_id = u.keep_id "
+        "JOIN nk ON nk.keeper_id = sp.doc_id "
+        "JOIN qf ON qf.doc_id = sp.doc_id"
+    )
+
+
 MEDOID_RES = 2  # medoid cells (16) — each holds enough points to matter
 
 
@@ -5773,6 +5812,7 @@ def catalog():
         "cell_cover": (q_cell_cover, sql_cell_cover()),
         "url_dedup": (q_url_dedup, sql_url_dedup()),
         "cell_medoid": (q_cell_medoid, sql_cell_medoid()),
+        "curation_pipeline": (q_curation_pipeline, sql_curation_pipeline()),
         "region_moments": (q_region_moments, sql_region_moments()),
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
         "knn_outlier": (q_knn_outlier, sql_knn_outlier()),
