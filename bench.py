@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "url_dedup",
     "cell_medoid",
     "curation_pipeline",
+    "event_knn",
     # NOT benched: traj_coverage — its radius (TRAJ_R) is calibrated
     # against the sf0.01 chord-distance spectrum for the oracle gate;
     # at sf0.1 the same ball is density-pathological (edge blow-up),

@@ -4425,6 +4425,51 @@ def sql_cell_trend():
     )
 
 
+EVKNN_K = 5  # cross-table kNN depth (rank gaps pinned >= 3.2e-6 at sf0.01)
+
+
+def q_event_knn(spark, sf_dir):
+    """CROSS-TABLE kNN JOIN at k=5: every document point's five
+    nearest event pings with ranks — nn_event's generalization from
+    nearest-facility to the k-NN enrichment join (spatial feature
+    vectors: "distance profile to the 5 closest activity centers").
+    Rank decisions are safe by measured clearance: the min adjacent
+    gap among each doc's first 6 cross-distances at sf0.01 is
+    3.2e-6, nine orders above the GEMM-vs-SQL evaluation skew
+    (pinned by test_event_knn_rank_clearance).
+
+    Physical plan: the verified two-phase kNN with an EXTERNAL query
+    set over the aligned events layout — homes in place, candidates-
+    only shuffle, the k=5 merge per query is one small window."""
+    epts, estats = _ev_points(spark, sf_dir)
+    dpts, _ = _geo_points(spark, sf_dir)
+    n_docs = src.load_table(spark, sf_dir, "documents").count()
+    knn = knn_self_join(
+        epts, k=EVKNN_K, d=3, stats=estats,
+        queries=dpts.select("id", "vec"), n_queries=n_docs,
+    )
+    return knn.select(
+        F.col("src").alias("doc_id"),
+        F.col("dst").alias("event_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def sql_event_knn():
+    elon, elat = geometry.sql_lonlat_exprs("event_id")
+    ex, ey, ez = geometry.sql_xyz_exprs("lon", "lat")
+    d = "sqrt(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) + (a.z-b.z)*(a.z-b.z))"
+    return (
+        _PTS_CTE
+        + f", ep AS (SELECT event_id AS id, {elon} AS lon, {elat} AS lat"
+        " FROM events), "
+        f"exyz AS (SELECT id, {ex} AS x, {ey} AS y, {ez} AS z FROM ep) "
+        "SELECT a.id AS doc_id, b.id AS event_id, "
+        f"CAST(row_number() OVER (PARTITION BY a.id ORDER BY {d} ASC, b.id ASC)"
+        f" AS BIGINT) AS rank FROM xyz a CROSS JOIN exyz b QUALIFY rank <= {EVKNN_K}"
+    )
+
+
 def q_curation_pipeline(spark, sf_dir):
     """END-TO-END CURATION PIPELINE — four verified stages composed
     into ONE exact query, the shape a production corpus build runs
@@ -5813,6 +5858,7 @@ def catalog():
         "url_dedup": (q_url_dedup, sql_url_dedup()),
         "cell_medoid": (q_cell_medoid, sql_cell_medoid()),
         "curation_pipeline": (q_curation_pipeline, sql_curation_pipeline()),
+        "event_knn": (q_event_knn, sql_event_knn()),
         "region_moments": (q_region_moments, sql_region_moments()),
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
         "knn_outlier": (q_knn_outlier, sql_knn_outlier()),
