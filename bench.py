@@ -161,6 +161,9 @@ BENCH_QUERIES = [
     "cell_medoid",
     "curation_pipeline",
     "event_knn",
+    "cell_diurnal",
+    "user_home",
+    "len_hist",
     # NOT benched: traj_coverage — its radius (TRAJ_R) is calibrated
     # against the sf0.01 chord-distance spectrum for the oracle gate;
     # at sf0.1 the same ball is density-pathological (edge blow-up),

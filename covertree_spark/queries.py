@@ -4425,6 +4425,101 @@ def sql_cell_trend():
     )
 
 
+def q_cell_diurnal(spark, sf_dir):
+    """DIURNAL PROFILE per cell: event counts by (cell, hour-of-day
+    0..23) — the time-of-day fingerprint (commute vs nightlife cells)
+    read with pure integer arithmetic (epoch_us DIV 3600e6 mod 24, no
+    timezone library: the engine's events are UTC by contract). ONE
+    map-side-combinable aggregate bounded by cells x 24 at any event
+    volume."""
+    ev = src.load_table(spark, sf_dir, "events")
+    lon, lat = geometry.sql_lonlat_exprs("event_id")
+    c = cellcodec.sql_cell_expr(lon, lat, BURST_RES)
+    hod = F.expr(
+        "(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24"
+    )
+    return (
+        ev.select(F.expr(c).alias("cell"), hod.alias("hod"))
+        .groupBy("cell", "hod")
+        .agg(F.count("*").alias("n"))
+        .select("cell", F.col("hod").cast("bigint"), F.col("n").cast("bigint"))
+    )
+
+
+def sql_cell_diurnal():
+    lon, lat = geometry.sql_lonlat_exprs("event_id")
+    c = cellcodec.sql_cell_expr(lon, lat, BURST_RES)
+    return (
+        f"SELECT {c} AS cell, CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT)"
+        " AS hod, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2"
+    )
+
+
+def q_user_home(spark, sf_dir):
+    """HOME-CELL INFERENCE: each user's modal visit cell (most pings;
+    ties to the smaller cell id) plus its visit count — the
+    home/work-location primitive mobility studies anchor on. ONE
+    collapse to (user, cell, count) then a max_by struct argmax
+    (partial-aggregable — no per-user window, no hot-key risk)."""
+    ev = src.load_table(spark, sf_dir, "events")
+    lon, lat = geometry.sql_lonlat_exprs("event_id")
+    c = cellcodec.sql_cell_expr(lon, lat, COVISIT_RES)
+    g = (
+        ev.select("user_id", F.expr(c).alias("cell"))
+        .groupBy("user_id", "cell")
+        .agg(F.count("*").alias("n"))
+    )
+    pick = F.max(
+        F.struct(F.col("n").alias("n"), (-F.col("cell")).alias("nc"))
+    ).alias("m")
+    return g.groupBy("user_id").agg(pick).select(
+        "user_id",
+        (-F.col("m.nc")).cast("bigint").alias("home_cell"),
+        F.col("m.n").cast("bigint").alias("n_visits"),
+    )
+
+
+def sql_user_home():
+    lon, lat = geometry.sql_lonlat_exprs("event_id")
+    c = cellcodec.sql_cell_expr(lon, lat, COVISIT_RES)
+    return (
+        f"WITH g AS (SELECT user_id, {c} AS cell, count(*) AS n FROM events "
+        "GROUP BY 1, 2) "
+        "SELECT user_id, CAST(cell AS BIGINT) AS home_cell, "
+        "CAST(n AS BIGINT) AS n_visits FROM ("
+        "SELECT user_id, cell, n, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY n DESC, cell ASC) AS rn FROM g) WHERE rn = 1"
+    )
+
+
+def q_len_hist(spark, sf_dir):
+    """LOG2-BUCKET LENGTH HISTOGRAM of document sizes — the corpus
+    shape profile every pipeline dashboard shows. The bucket is
+    floor(log2(n_chars)) rendered as a shared CASE chain over power-
+    of-two boundaries (integer comparisons only — a float log2 could
+    round differently at exact powers across engines)."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    case = "CASE " + " ".join(
+        f"WHEN n_chars < {1 << (b + 1)} THEN {b}" for b in range(40)
+    ) + " ELSE 40 END"
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .select(F.expr(case).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def sql_len_hist():
+    case = "CASE " + " ".join(
+        f"WHEN n_chars < {1 << (b + 1)} THEN {b}" for b in range(40)
+    ) + " ELSE 40 END"
+    return (
+        f"SELECT CAST({case} AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) "
+        "AS n FROM documents WHERE n_chars > 0 GROUP BY 1"
+    )
+
+
 EVKNN_K = 5  # cross-table kNN depth (rank gaps pinned >= 3.2e-6 at sf0.01)
 
 
@@ -5859,6 +5954,9 @@ def catalog():
         "cell_medoid": (q_cell_medoid, sql_cell_medoid()),
         "curation_pipeline": (q_curation_pipeline, sql_curation_pipeline()),
         "event_knn": (q_event_knn, sql_event_knn()),
+        "cell_diurnal": (q_cell_diurnal, sql_cell_diurnal()),
+        "user_home": (q_user_home, sql_user_home()),
+        "len_hist": (q_len_hist, sql_len_hist()),
         "region_moments": (q_region_moments, sql_region_moments()),
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
         "knn_outlier": (q_knn_outlier, sql_knn_outlier()),
