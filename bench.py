@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "cell_diurnal",
     "user_home",
     "len_hist",
+    "lang_prf",
+    "tile_quantiles",
     # NOT benched: traj_coverage — its radius (TRAJ_R) is calibrated
     # against the sf0.01 chord-distance spectrum for the oracle gate;
     # at sf0.1 the same ball is density-pathological (edge blow-up),

@@ -4425,6 +4425,118 @@ def sql_cell_trend():
     )
 
 
+def q_lang_prf(spark, sf_dir):
+    """PER-CLASS PRECISION/RECALL COMPONENTS for the language-ID
+    model: (tp, fp, fn) per predicted class index, derived from the
+    engine's own verified predictions against the labeled column —
+    the integer numerators of precision/recall/F1 (the float ratios
+    are driver-side one-liners; shipping integers keeps the gate
+    exact). lang_confusion is the matrix; this is its evaluation
+    read-off."""
+    pred = q_lang_predict(spark, sf_dir)
+    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    lbl_idx = F.lit(None).cast("bigint")
+    for i, lg in enumerate(tx._LANGS):
+        lbl_idx = F.when(F.col("lang") == lg, F.lit(i)).otherwise(lbl_idx)
+    j = pred.join(docs, "doc_id").select(
+        "lang_idx", lbl_idx.alias("lbl_idx")
+    )
+    per = j.groupBy().agg(
+        *[
+            F.sum(
+                ((F.col("lang_idx") == i) & (F.col("lbl_idx") == i)).cast("bigint")
+            ).alias(f"tp{i}")
+            for i in range(len(tx._LANGS))
+        ],
+        *[
+            F.sum(
+                ((F.col("lang_idx") == i) & (F.col("lbl_idx") != i)).cast("bigint")
+            ).alias(f"fp{i}")
+            for i in range(len(tx._LANGS))
+        ],
+        *[
+            F.sum(
+                ((F.col("lang_idx") != i) & (F.col("lbl_idx") == i)).cast("bigint")
+            ).alias(f"fn{i}")
+            for i in range(len(tx._LANGS))
+        ],
+    )
+    stack = ", ".join(
+        f"CAST({i} AS BIGINT), tp{i}, fp{i}, fn{i}"
+        for i in range(len(tx._LANGS))
+    )
+    return per.selectExpr(
+        f"stack({len(tx._LANGS)}, {stack}) AS (cls, tp, fp, fn)"
+    )
+
+
+def sql_lang_prf():
+    case = "CASE " + " ".join(
+        f"WHEN lang = '{lg}' THEN {i}" for i, lg in enumerate(tx._LANGS)
+    ) + " END"
+    return (
+        f"WITH p AS ({sql_lang_predict()}), "
+        f"j AS (SELECT p.lang_idx, {case} AS lbl_idx FROM p "
+        "JOIN documents d ON d.doc_id = p.doc_id), "
+        f"c AS (SELECT cls.i AS cls, "
+        "CAST(count(*) FILTER (WHERE lang_idx = cls.i AND lbl_idx = cls.i) AS BIGINT) AS tp, "
+        "CAST(count(*) FILTER (WHERE lang_idx = cls.i AND lbl_idx <> cls.i) AS BIGINT) AS fp, "
+        "CAST(count(*) FILTER (WHERE lang_idx <> cls.i AND lbl_idx = cls.i) AS BIGINT) AS fn "
+        f"FROM j CROSS JOIN (SELECT range AS i FROM range({len(tx._LANGS)})) cls "
+        "GROUP BY 1) "
+        "SELECT CAST(cls AS BIGINT) AS cls, tp, fp, fn FROM c"
+    )
+
+
+def q_tile_quantiles(spark, sf_dir):
+    """PER-TILE QUARTILES (P25 / median / P75 of n_chars): the full
+    skew-robust zone profile, same value-collapse discipline as
+    tile_median (windows over distinct values, never rows) with three
+    shared floor-division rank rules. Output (tile, p25, med, p75,
+    n)."""
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    docs = src.load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("n_chars").alias("val")
+    )
+    t = tiles.assign_tiles(pts, TILE_Z).select("id", "tile").join(docs, "id")
+    g = t.groupBy("tile", "val").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window as W
+
+    cum = F.sum("c").over(
+        W.partitionBy("tile").orderBy("val").rowsBetween(W.unboundedPreceding, 0)
+    )
+    n = F.sum("c").over(W.partitionBy("tile"))
+    w = g.select("tile", "val", cum.alias("cum"), n.alias("n"))
+    r25 = F.expr("CAST(floor((n + 3) / 4.0) AS BIGINT)")
+    r50 = F.expr("CAST(floor((n + 1) / 2.0) AS BIGINT)")
+    r75 = F.expr("CAST(floor((3 * n + 1) / 4.0) AS BIGINT)")
+    return (
+        w.groupBy("tile")
+        .agg(
+            F.min(F.when(F.col("cum") >= r25, F.col("val"))).cast("bigint").alias("p25"),
+            F.min(F.when(F.col("cum") >= r50, F.col("val"))).cast("bigint").alias("med"),
+            F.min(F.when(F.col("cum") >= r75, F.col("val"))).cast("bigint").alias("p75"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+def sql_tile_quantiles():
+    t = cellcodec.sql_cell_expr(_LON_E, _LAT_E, TILE_Z)
+    return (
+        f"WITH v AS (SELECT {t} AS tile, n_chars AS val FROM documents), "
+        "g AS (SELECT tile, val, count(*) AS c FROM v GROUP BY 1, 2), "
+        "w AS (SELECT tile, val, sum(c) OVER (PARTITION BY tile ORDER BY val "
+        "ROWS UNBOUNDED PRECEDING) AS cum, "
+        "sum(c) OVER (PARTITION BY tile) AS n FROM g) "
+        "SELECT tile, "
+        "CAST(min(CASE WHEN cum >= CAST(floor((n + 3) / 4.0) AS BIGINT) THEN val END) AS BIGINT) AS p25, "
+        "CAST(min(CASE WHEN cum >= CAST(floor((n + 1) / 2.0) AS BIGINT) THEN val END) AS BIGINT) AS med, "
+        "CAST(min(CASE WHEN cum >= CAST(floor((3 * n + 1) / 4.0) AS BIGINT) THEN val END) AS BIGINT) AS p75, "
+        "CAST(max(n) AS BIGINT) AS n FROM w GROUP BY 1"
+    )
+
+
 def q_cell_diurnal(spark, sf_dir):
     """DIURNAL PROFILE per cell: event counts by (cell, hour-of-day
     0..23) — the time-of-day fingerprint (commute vs nightlife cells)
@@ -5957,6 +6069,8 @@ def catalog():
         "cell_diurnal": (q_cell_diurnal, sql_cell_diurnal()),
         "user_home": (q_user_home, sql_user_home()),
         "len_hist": (q_len_hist, sql_len_hist()),
+        "lang_prf": (q_lang_prf, sql_lang_prf()),
+        "tile_quantiles": (q_tile_quantiles, sql_tile_quantiles()),
         "region_moments": (q_region_moments, sql_region_moments()),
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
         "knn_outlier": (q_knn_outlier, sql_knn_outlier()),
