@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "len_hist",
     "lang_prf",
     "tile_quantiles",
+    "user_cadence",
     # NOT benched: traj_coverage — its radius (TRAJ_R) is calibrated
     # against the sf0.01 chord-distance spectrum for the oracle gate;
     # at sf0.1 the same ball is density-pathological (edge blow-up),

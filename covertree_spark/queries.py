@@ -4425,6 +4425,59 @@ def sql_cell_trend():
     )
 
 
+def q_user_cadence(spark, sf_dir):
+    """PER-USER PING CADENCE (lower-median inter-event gap, exact
+    integer microseconds): how regularly each device reports — the
+    sampling-rate profile trajectory pipelines calibrate against
+    (interpolation/stay-point thresholds follow from it). Gaps come
+    from the hot-key-bounded pair primitive (no full-history window),
+    then the value-collapse median discipline (tile_median's) runs
+    per user over DISTINCT GAP VALUES. Output (user_id, med_gap_us,
+    n_gaps) for users with >= 1 gap."""
+    pairs = sessions.consecutive_pairs(
+        src.load_table(spark, sf_dir, "events"), bucket_us=TRAVEL_BUCKET_US
+    )
+    g = (
+        pairs.select(
+            "user_id", (F.col("us") - F.col("prev_us")).alias("gap")
+        )
+        .groupBy("user_id", "gap")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window as W
+
+    cum = F.sum("c").over(
+        W.partitionBy("user_id").orderBy("gap").rowsBetween(W.unboundedPreceding, 0)
+    )
+    n = F.sum("c").over(W.partitionBy("user_id"))
+    w = g.select("user_id", "gap", cum.alias("cum"), n.alias("n"))
+    rank = F.expr("CAST(floor((n + 1) / 2.0) AS BIGINT)")
+    return (
+        w.where(F.col("cum") >= rank)
+        .groupBy("user_id")
+        .agg(
+            F.min("gap").cast("bigint").alias("med_gap_us"),
+            F.max("n").cast("bigint").alias("n_gaps"),
+        )
+    )
+
+
+def sql_user_cadence():
+    return (
+        "WITH s AS (SELECT user_id, epoch_us(ts) AS us, "
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, "
+        "event_id ASC) AS pus FROM events), "
+        "gg AS (SELECT user_id, us - pus AS gap FROM s WHERE pus IS NOT NULL), "
+        "g AS (SELECT user_id, gap, count(*) AS c FROM gg GROUP BY 1, 2), "
+        "w AS (SELECT user_id, gap, sum(c) OVER (PARTITION BY user_id "
+        "ORDER BY gap ROWS UNBOUNDED PRECEDING) AS cum, "
+        "sum(c) OVER (PARTITION BY user_id) AS n FROM g) "
+        "SELECT user_id, CAST(min(gap) AS BIGINT) AS med_gap_us, "
+        "CAST(max(n) AS BIGINT) AS n_gaps FROM w "
+        "WHERE cum >= CAST(floor((n + 1) / 2.0) AS BIGINT) GROUP BY 1"
+    )
+
+
 def q_lang_prf(spark, sf_dir):
     """PER-CLASS PRECISION/RECALL COMPONENTS for the language-ID
     model: (tp, fp, fn) per predicted class index, derived from the
@@ -6071,6 +6124,7 @@ def catalog():
         "len_hist": (q_len_hist, sql_len_hist()),
         "lang_prf": (q_lang_prf, sql_lang_prf()),
         "tile_quantiles": (q_tile_quantiles, sql_tile_quantiles()),
+        "user_cadence": (q_user_cadence, sql_user_cadence()),
         "region_moments": (q_region_moments, sql_region_moments()),
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
         "knn_outlier": (q_knn_outlier, sql_knn_outlier()),
