@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "lang_prf",
     "tile_quantiles",
     "user_cadence",
+    "tile_top_docs",
+    "gap_hist",
     # NOT benched: traj_coverage — its radius (TRAJ_R) is calibrated
     # against the sf0.01 chord-distance spectrum for the oracle gate;
     # at sf0.1 the same ball is density-pathological (edge blow-up),

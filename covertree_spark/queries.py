@@ -4425,6 +4425,80 @@ def sql_cell_trend():
     )
 
 
+TILE_TOP_K = 3
+
+
+def q_tile_top_docs(spark, sf_dir):
+    """SPATIAL GROUPED TOP-K: the TILE_TOP_K longest documents per
+    occupied TILE_Z tile — the per-zone exemplar query (map popups,
+    per-region sampling), run through the same hot-key-safe two-phase
+    salted plan as lang_top_docs but keyed on the SPATIAL tile: a
+    megacity tile with 10^8 docs never serializes one window task.
+    Output (tile, rank, doc_id, n_chars)."""
+    from .operators.topk import grouped_topk
+
+    pts = src.doc_points_lonlat(spark, sf_dir)
+    docs = src.load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "n_chars"
+    )
+    t = tiles.assign_tiles(pts, TILE_Z).select("id", "tile").join(docs, "id")
+    return grouped_topk(
+        t.select("tile", F.col("id").alias("doc_id"), "n_chars"),
+        ["tile"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=TILE_TOP_K,
+        salt_col="doc_id",
+    ).select("tile", "rank", "doc_id", "n_chars")
+
+
+def sql_tile_top_docs():
+    t = cellcodec.sql_cell_expr(_LON_E, _LAT_E, TILE_Z)
+    return f"""
+SELECT tile, CAST(rk AS BIGINT) AS rank, doc_id, n_chars FROM (
+  SELECT {t} AS tile, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY {t} ORDER BY n_chars DESC, doc_id ASC
+         ) AS rk
+  FROM documents
+) WHERE rk <= {TILE_TOP_K}
+"""
+
+
+def q_gap_hist(spark, sf_dir):
+    """LOG2 HISTOGRAM OF INTER-EVENT GAPS (global): the sampling-
+    cadence spectrum of the whole feed — sub-second duplicates at one
+    end, day-scale silences at the other. Gaps from the hot-key-
+    bounded pair primitive; the bucket is the same integer CASE chain
+    discipline as len_hist (floor(log2) without a float log). Output
+    (bucket, n) over microsecond gaps."""
+    pairs = sessions.consecutive_pairs(
+        src.load_table(spark, sf_dir, "events"), bucket_us=TRAVEL_BUCKET_US
+    )
+    case = "CASE " + " ".join(
+        f"WHEN gap < {1 << (b + 1)} THEN {b}" for b in range(45)
+    ) + " ELSE 45 END"
+    return (
+        pairs.select((F.col("us") - F.col("prev_us")).alias("gap"))
+        .where(F.col("gap") > 0)
+        .selectExpr(f"CAST({case} AS BIGINT) AS bucket")
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def sql_gap_hist():
+    case = "CASE " + " ".join(
+        f"WHEN gap < {1 << (b + 1)} THEN {b}" for b in range(45)
+    ) + " ELSE 45 END"
+    return (
+        "WITH s AS (SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+        "PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap "
+        "FROM events) "
+        f"SELECT CAST({case} AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) "
+        "AS n FROM s WHERE gap > 0 GROUP BY 1"
+    )
+
+
 def q_user_cadence(spark, sf_dir):
     """PER-USER PING CADENCE (lower-median inter-event gap, exact
     integer microseconds): how regularly each device reports — the
@@ -6125,6 +6199,8 @@ def catalog():
         "lang_prf": (q_lang_prf, sql_lang_prf()),
         "tile_quantiles": (q_tile_quantiles, sql_tile_quantiles()),
         "user_cadence": (q_user_cadence, sql_user_cadence()),
+        "tile_top_docs": (q_tile_top_docs, sql_tile_top_docs()),
+        "gap_hist": (q_gap_hist, sql_gap_hist()),
         "region_moments": (q_region_moments, sql_region_moments()),
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
         "knn_outlier": (q_knn_outlier, sql_knn_outlier()),
