@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "user_cadence",
     "tile_top_docs",
     "gap_hist",
+    "host_lang_matrix",
+    "user_span",
     # NOT benched: traj_coverage — its radius (TRAJ_R) is calibrated
     # against the sf0.01 chord-distance spectrum for the oracle gate;
     # at sf0.1 the same ball is density-pathological (edge blow-up),

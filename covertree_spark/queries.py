@@ -4425,6 +4425,67 @@ def sql_cell_trend():
     )
 
 
+def q_host_lang_matrix(spark, sf_dir):
+    """HOST × LANGUAGE MATRIX: per-domain language mix counts — the
+    per-host policy input (a domain that is 95% one language gets a
+    domain-level language tag; mixed hosts get per-page ID). Same
+    parse-vs-arithmetic cross-check as host_stats: the engine builds
+    the url string and PARSES the host back out; the oracle derives
+    it arithmetically from doc_id. One map-side-combined groupBy
+    bounded by hosts × langs."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % _HOST_MOD).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "lang",
+    )
+    host = F.element_at(F.split(F.col("url"), "/"), 3)
+    return pages.groupBy(host.alias("host"), F.col("lang")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+def sql_host_lang_matrix():
+    return (
+        f"SELECT 'site' || CAST(doc_id % {_HOST_MOD} AS VARCHAR) || "
+        "'.example' AS host, lang, CAST(count(*) AS BIGINT) AS n "
+        "FROM documents GROUP BY 1, 2"
+    )
+
+
+def q_user_span(spark, sf_dir):
+    """PER-USER OBSERVATION SPAN: first/last ping micros, span, and
+    event count — the device-coverage profile every mobility metric
+    normalizes by (RoG over a 1-hour span means nothing). ONE
+    map-side-combinable min/max/count aggregate; microsecond-exact
+    integers."""
+    ev = src.load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        ev.select("user_id", us.alias("us"))
+        .groupBy("user_id")
+        .agg(
+            F.min("us").cast("bigint").alias("first_us"),
+            F.max("us").cast("bigint").alias("last_us"),
+            (F.max("us") - F.min("us")).cast("bigint").alias("span_us"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+def sql_user_span():
+    return (
+        "SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS first_us, "
+        "CAST(max(epoch_us(ts)) AS BIGINT) AS last_us, "
+        "CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS span_us, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1"
+    )
+
+
 TILE_TOP_K = 3
 
 
@@ -6201,6 +6262,8 @@ def catalog():
         "user_cadence": (q_user_cadence, sql_user_cadence()),
         "tile_top_docs": (q_tile_top_docs, sql_tile_top_docs()),
         "gap_hist": (q_gap_hist, sql_gap_hist()),
+        "host_lang_matrix": (q_host_lang_matrix, sql_host_lang_matrix()),
+        "user_span": (q_user_span, sql_user_span()),
         "region_moments": (q_region_moments, sql_region_moments()),
         "mutual_knn": (q_mutual_knn, sql_mutual_knn()),
         "knn_outlier": (q_knn_outlier, sql_knn_outlier()),
