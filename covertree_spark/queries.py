@@ -529,21 +529,18 @@ def q_ripley_k(spark, sf_dir):
     count; the float normalization is a driver-side constant, so the
     engine emits the INTEGER pair counts and stays hash-exact.
 
-    Physical plan: ONE ball join at r_max (the engine's cogroup plan —
-    ghosts-only shuffle, per-pair cost identical to geo_ball_join),
-    then 4 conditional sums in a single JVM agg — no per-bin rescan,
-    no extra shuffle beyond the one scalar agg. Bin-edge decisions are
-    clearance-pinned (see RIPLEY_EDGES); everything after the distance
-    comparison is pure integers."""
+    Physical plan: ONE cogroup pass at r_max with the 4 bin counts
+    computed INSIDE the kernel (ball_self_join_bin_counts, lt_only —
+    guide §2.3 aggregate-before-shuffle: no per-pair Arrow rows, no
+    JVM-side conditional-sum rescan; 4 longs per cell reach the one
+    scalar agg). Bin-edge decisions are clearance-pinned (see
+    RIPLEY_EDGES); everything after the distance comparison is pure
+    integers."""
+    from .operators.ball_join import ball_self_join_bin_counts
+
     pts, stats = _geo_points(spark, sf_dir)
-    pairs = ball_self_join(pts, RIPLEY_EDGES[-1], d=3, stats=stats).filter(
-        F.col("src") < F.col("dst")
-    )
-    row = pairs.agg(
-        *[
-            F.sum((F.col("dist") <= F.lit(r)).cast("bigint")).alias(f"c{i}")
-            for i, r in enumerate(RIPLEY_EDGES)
-        ]
+    row = ball_self_join_bin_counts(
+        pts, RIPLEY_EDGES, d=3, stats=stats, lt_only=True
     )
     stack = ", ".join(
         f"CAST({i} AS BIGINT), c{i}" for i in range(len(RIPLEY_EDGES))
@@ -2230,9 +2227,10 @@ def q_geo_bfs_hops(spark, sf_dir):
     makes BFS over an epsilon-graph tractable at 10^12 rows."""
     from .operators.components import connected_components
     from .operators.graph_metrics import bfs_hops
+    from .plans.session import mark_releasable
 
     pts, stats = _geo_points(spark, sf_dir)
-    edges = (
+    edges = mark_releasable(
         ball_self_join(pts, GEO_CC_R, d=3, stats=stats)
         .select("src", "dst")
         .persist()
@@ -4208,21 +4206,21 @@ def q_cross_k(spark, sf_dir):
     constant (ripley_k's discipline).
 
     Physical plan: docs and events share ONE aligned union layout
-    (ids parity-tagged — _cross_points), so the cross-pair stream is
-    the engine's verified cogroup ball join at r_max plus a parity
-    filter (even src, odd dst keeps exactly one direction of every
-    cross pair), then 4 conditional sums in one JVM agg. No new join
-    shape; the union shuffle is the amortized, warehouse-committed
-    ingest."""
+    (ids parity-tagged — _cross_points); the 4 bin counts are computed
+    INSIDE the cogroup ball-join kernel (ball_self_join_bin_counts —
+    guide §2.3 aggregate-before-shuffle: the old pair stream pushed
+    ~10^8 Arrow rows into a JVM agg, where 4 longs per cell suffice),
+    with the parity selection (even src, odd dst keeps exactly one
+    direction of every cross pair) pruning the kernel inputs — the
+    per-cell GEMM shrinks by the parity-split product and the ghost
+    shuffle halves, with the counted pair set unchanged by
+    construction. No new join shape; the union shuffle is the
+    amortized, warehouse-committed ingest."""
+    from .operators.ball_join import ball_self_join_bin_counts
+
     pts, stats = _cross_points(spark, sf_dir)
-    pairs = ball_self_join(pts, CROSSK_EDGES[-1], d=3, stats=stats).where(
-        (F.col("src") % 2 == 0) & (F.col("dst") % 2 == 1)
-    )
-    row = pairs.agg(
-        *[
-            F.sum((F.col("dist") <= F.lit(r)).cast("bigint")).alias(f"c{i}")
-            for i, r in enumerate(CROSSK_EDGES)
-        ]
+    row = ball_self_join_bin_counts(
+        pts, CROSSK_EDGES, d=3, stats=stats, src_mod2=0, dst_mod2=1
     )
     stack = ", ".join(
         f"CAST({i} AS BIGINT), c{i}" for i in range(len(CROSSK_EDGES))
@@ -5141,8 +5139,10 @@ def q_geo_assortativity(spark, sf_dir):
     degree aggregate, two id-keyed joins of the degree table onto the
     edge stream, one scalar moment agg — all partial-aggregable,
     no window, no collect."""
+    from .plans.session import mark_releasable
+
     pts, stats = _geo_points(spark, sf_dir)
-    edges = (
+    edges = mark_releasable(
         ball_self_join(pts, GEO_CC_R, d=3, stats=stats)
         .select("src", "dst")
         .persist()
@@ -5414,29 +5414,25 @@ def q_geo_kcore(spark, sf_dir):
     fixture does; the bounded contract is what an exact unrolled SQL
     oracle can render — geo_sssp's discipline). Output (id, in_core).
 
-    Physical plan: per round, ONE join of the edge stream against the
-    surviving set on both endpoints + a degree count — all partial-
-    aggregable; lineage truncated every 4 rounds. Edges persist once;
-    the per-round shuffle is O(surviving edges)."""
+    Physical plan: the data-adaptive bounded peel
+    (operators/graph_iter.py) — per distributed round, ONE join of
+    the edge stream against the surviving set on both endpoints + a
+    degree count, O(surviving edges) and partial-aggregable; below
+    graph_iter.SMALL_CUTOFF edges the whole 12-round peel runs as one
+    bounded numpy task with a result-identical fixpoint early exit
+    (peeling is monotone — a no-removal round makes every later round
+    a no-op)."""
+    from .operators.graph_iter import bounded_kcore
+    from .plans.session import mark_releasable
+
     pts, stats = _geo_points(spark, sf_dir)
-    edges = (
+    edges = mark_releasable(
         ball_self_join(pts, GEO_CC_R, d=3, stats=stats)
         .select("src", "dst")
         .persist()
     )
-    alive = pts.select("id")
-    for i in range(KCORE_ROUNDS):
-        deg = (
-            edges.join(alive.select(F.col("id").alias("src")), "src")
-            .join(alive.select(F.col("id").alias("dst")), "dst")
-            .groupBy("src")
-            .agg(F.count("*").alias("_d"))
-            .where(F.col("_d") >= KCORE_K)
-            .select(F.col("src").alias("id"))
-        )
-        alive = deg
-        if (i + 1) % 4 == 0:
-            alive = alive.localCheckpoint()
+    n_edges = edges.count()  # materialize before reuse + cutoff pick
+    alive = bounded_kcore(edges, KCORE_K, KCORE_ROUNDS, n_edges=n_edges)
     return (
         pts.select("id")
         .join(alive.withColumn("_in", F.lit(1)), "id", "left")
@@ -5574,9 +5570,11 @@ def q_tile_contours(spark, sf_dir):
     Physical plan: ONE O(points) histogram, 4 shifted-key LEFT joins
     over the O(occupied) survivors — no geometry, pure integer key
     arithmetic."""
+    from .plans.session import mark_releasable
+
     n = 1 << HIST_Z
     pts = src.doc_points_lonlat(spark, sf_dir)
-    h = tiles.tile_histogram(pts, HIST_Z).persist()
+    h = mark_releasable(tiles.tile_histogram(pts, HIST_Z).persist())
     inside = h.where(F.col("cnt") >= CONTOUR_T)
     tx = ((F.col("tile") - F.col("tile") % n) / n).cast("bigint")
     ty = F.col("tile") % n
@@ -5784,42 +5782,53 @@ def q_geo_sssp(spark, sf_dir):
     haversine-metre fragment over both endpoints' derived lon/lat —
     no Python anywhere); each relaxation round is ONE src-keyed join
     + one min-combine groupBy, both partial-aggregable; lineage is
-    truncated every 4 rounds (localCheckpoint — the plan-depth
-    discipline from Voronoi/BFS). At 10^12 rows the per-round shuffle
-    is O(frontier edges); the documented refinement is delta-stepping
-    style frontier filtering (only improved vertices re-emit), which
-    changes cost, not results."""
+    truncated per round. The r5-documented refinement is now in:
+    relaxation is FRONTIER-FILTERED (delta-stepping-style improved-
+    only re-emission, operators/graph_iter.py) so the per-round
+    shuffle is O(frontier edges), with a result-identical early exit
+    at the fixpoint; below graph_iter.SMALL_CUTOFF edges the whole
+    bounded iteration collapses into one numpy task (components.py's
+    small-graph discipline — at bench scale the 16 x 2 fixed-latency
+    shuffle rounds dwarf the <20 ms of arithmetic)."""
     from .operators.components import connected_components
+    from .operators.graph_iter import (
+        SMALL_CUTOFF,
+        bounded_sssp,
+        sssp_from_largest_component,
+    )
+    from .plans.session import mark_releasable
 
     pts, stats = _geo_points(spark, sf_dir)
-    edges = (
+    edges = mark_releasable(
         ball_self_join(pts, GEO_CC_R, d=3, stats=stats)
         .select("src", "dst")
         .persist()
     )
-    comp = connected_components(edges, nodes=pts)
-    pick = (
-        comp.groupBy("component")
-        .agg(F.count("*").alias("c"))
-        .agg(F.min(F.struct((-F.col("c")).alias("nc"), "component")).alias("m"))
-        .select(F.col("m.component"))
-        .collect()[0][0]
-    )
+    n_edges = edges.count()  # materialize before fan-out + cutoff pick
     lon1, lat1 = geometry.sql_lonlat_exprs("src")
     lon2, lat2 = geometry.sql_lonlat_exprs("dst")
     w = geometry.sql_haversine_m_int(lon1, lat1, lon2, lat2)
-    ew = edges.withColumn("w", F.expr(w)).persist()
-    d = spark.createDataFrame([(int(pick), 0)], "id long, d long")
-    for i in range(SSSP_ROUNDS):
-        relaxed = (
-            ew.join(
-                d.select(F.col("id").alias("src"), F.col("d").alias("_du")),
-                "src",
-            ).select(F.col("dst").alias("id"), (F.col("_du") + F.col("w")).alias("d"))
+    ew = edges.withColumn("w", F.expr(w))
+    if 0 < n_edges <= SMALL_CUTOFF:
+        # fused small path: union-find + largest-component source pick
+        # + all relaxation rounds in ONE bounded task (same pick rule;
+        # any edge component (size >= 2) outranks every isolated
+        # singleton, so the node table cannot influence the pick)
+        d = sssp_from_largest_component(ew, SSSP_ROUNDS)
+    else:
+        comp = connected_components(edges, nodes=pts)
+        pick = (
+            comp.groupBy("component")
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), "component")
+                ).alias("m")
+            )
+            .select(F.col("m.component"))
+            .collect()[0][0]
         )
-        d = d.unionByName(relaxed).groupBy("id").agg(F.min("d").alias("d"))
-        if (i + 1) % 4 == 0:
-            d = d.localCheckpoint()
+        d = bounded_sssp(ew, int(pick), SSSP_ROUNDS, n_edges=n_edges)
     return (
         pts.select("id")
         .join(d, "id", "left")
@@ -6033,11 +6042,18 @@ def q_mutual_knn(spark, sf_dir):
     Physical plan: the two-phase exact kNN (the headline plan), then
     ONE self-equi-join of its (src,dst) edge stream on the swapped
     key — O(nk) rows keyed on a 2-tuple, hash-balanced, no point
-    payloads move (ids only)."""
+    payloads move (ids only). The edge stream is persisted +
+    materialized ONCE before the self-join: without it each alias
+    re-ran the full kNN (measured 2x dist_comps at sf0.1)."""
+    from .plans.session import mark_releasable
+
     pts, stats = _geo_points(spark, sf_dir)
-    knn = knn_self_join(pts, k=KNN_K, d=3, stats=stats).select(
-        "src", "dst", F.col("rank").cast("bigint").alias("rank")
+    knn = mark_releasable(
+        knn_self_join(pts, k=KNN_K, d=3, stats=stats)
+        .select("src", "dst", F.col("rank").cast("bigint").alias("rank"))
+        .persist()
     )
+    knn.count()
     a, b = knn.alias("a"), knn.alias("b")
     return (
         a.join(
@@ -6075,8 +6091,14 @@ def q_knn_outlier(spark, sf_dir):
     Physical plan: ONE exact-kNN pass (verified two-phase plan), the
     op-order-mirrored metre finalize (nn_event's discipline), an
     id-keyed partial agg for S, and one edge-stream join keyed on dst
-    — every post-kNN stage is O(nk) ids+ints, no vectors move."""
+    — every post-kNN stage is O(nk) ids+ints, no vectors move. The
+    metre stream is persisted + materialized ONCE before its triple
+    fan-out (S agg, dst join, src join): without it each consumer
+    re-ran the full kNN (measured 3x dist_comps at sf0.1 — the AQE
+    persist-race discipline, see dbscan.py)."""
     import pandas as pd
+
+    from .plans.session import mark_releasable
 
     pts, stats = _geo_points(spark, sf_dir)
     knn = knn_self_join(pts, k=KNN_K, d=3, stats=stats)
@@ -6090,9 +6112,12 @@ def q_knn_outlier(spark, sf_dir):
             m = geometry.haversine_m_int(lon1, lat1, lon2, lat2)
             yield pd.DataFrame({"src": pdf["src"], "dst": pdf["dst"], "m": m})
 
-    md = knn.select("src", "dst").mapInPandas(
-        metres, schema="src bigint, dst bigint, m bigint"
+    md = mark_releasable(
+        knn.select("src", "dst")
+        .mapInPandas(metres, schema="src bigint, dst bigint, m bigint")
+        .persist()
     )
+    md.count()
     s = md.groupBy(F.col("src").alias("id")).agg(
         F.sum(F.col("m") * F.col("m")).cast("bigint").alias("s2")
     )
