@@ -72,8 +72,88 @@ def dbscan_labels(
     from ..plans.session import mark_releasable
 
     e = mark_releasable(edges.select("src", "dst").persist())
-    e.count()
+    n_edges = e.count()
     ids = points.select(F.col("id").cast("bigint").alias("id"))
+
+    # DATA-ADAPTIVE small path (components.py / graph_iter.py
+    # discipline): below the bounded-task cutoff the whole
+    # degree/core/cluster/border cascade runs in ONE numpy task over
+    # the materialized edge arrays — the distributed path's ~6
+    # fixed-latency shuffle stages dwarf the arithmetic at bench
+    # scale. Identical semantics: same degree rule (self included, so
+    # only edge-endpoint vertices can be core when min_pts >= 2 —
+    # isolated points have n_eps == 1), same min-id cluster labels
+    # (union-find over core-core edges, the labels components.py's
+    # small path computes), same min-cluster border rule. Points
+    # absent from the edge set flow through the unchanged noise
+    # anti-join. min_pts <= 1 would make isolated points core
+    # (invisible to the kernel) — that degenerate setting keeps the
+    # distributed path.
+    from .graph_iter import SMALL_CUTOFF
+
+    if n_edges <= SMALL_CUTOFF and min_pts >= 2:
+        import numpy as np
+        import pandas as pd
+
+        from .components import _uf_min_labels
+
+        def run(batches):
+            blocks = [p for p in batches if not p.empty]
+            empty = pd.DataFrame(
+                {
+                    "id": np.empty(0, np.int64),
+                    "role": np.empty(0, np.int64),
+                    "cluster": np.empty(0, np.int64),
+                }
+            )
+            if not blocks:
+                yield empty
+                return
+            cur = pd.concat(blocks, ignore_index=True)
+            src = cur["src"].to_numpy(np.int64)
+            dst = cur["dst"].to_numpy(np.int64)
+            vids = np.unique(np.concatenate([src, dst]))
+            si = np.searchsorted(vids, src)
+            di = np.searchsorted(vids, dst)
+            deg = np.bincount(si, minlength=len(vids))
+            core = (deg + 1) >= min_pts
+            cm = core[si] & core[di]
+            cluster = np.full(len(vids), -1, np.int64)
+            if cm.any():
+                cids, clab = _uf_min_labels(src[cm], dst[cm])
+                cluster[np.searchsorted(vids, cids)] = clab
+            # singleton cores (no core neighbor) cluster as themselves
+            lone = core & (cluster == -1)
+            cluster[lone] = vids[lone]
+            # borders: non-core src with >= 1 core dst; min core cluster
+            bm = (~core[si]) & core[di]
+            bcl = np.full(len(vids), np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(bcl, si[bm], cluster[di[bm]])
+            border = (~core) & (bcl != np.iinfo(np.int64).max)
+            out_id = np.concatenate([vids[core], vids[border]])
+            out_role = np.concatenate(
+                [
+                    np.full(int(core.sum()), ROLE_CORE, np.int64),
+                    np.full(int(border.sum()), ROLE_BORDER, np.int64),
+                ]
+            )
+            out_cl = np.concatenate([cluster[core], bcl[border]])
+            yield pd.DataFrame(
+                {"id": out_id, "role": out_role, "cluster": out_cl}
+            )
+
+        labeled = mark_releasable(
+            e.coalesce(1)
+            .mapInPandas(run, schema="id bigint, role bigint, cluster bigint")
+            .persist()
+        )
+        labeled.count()  # one kernel run; anti-join + union both read it
+        noise = ids.join(labeled.select("id"), "id", "anti").select(
+            "id",
+            F.lit(ROLE_NOISE).cast("bigint").alias("role"),
+            F.lit(-1).cast("bigint").alias("cluster"),
+        )
+        return labeled.unionByName(noise)
 
     # |N_eps(p)| >= min_pts, self included: isolated points have no
     # edge rows, so degree comes from a left join against the graph

@@ -119,57 +119,52 @@ def ngram_jaccard_pairs(
     shingles. Integer-only outputs -> exact oracle comparison.
 
     ``max_df``: drop shingles whose document frequency exceeds it
-    BEFORE the self-join — standard web-dedup practice (a boilerplate
-    shingle shared by 10^6 docs otherwise makes 10^12 join rows; the
+    BEFORE pair expansion — standard web-dedup practice (a boilerplate
+    shingle shared by 10^6 docs otherwise makes 10^12 pair rows; the
     reference's load-balance analog is LPT + hub splitting,
     dist_point_vector.cpp:656-696). The Jaccard is then DEFINED over
     the rare-shingle sets (sizes and intersections both filtered), so
     the SQL oracle expresses the identical rule. None = exact
-    unfiltered semantics (the minhash verification oracle)."""
-    from pyspark.sql import Window
+    unfiltered semantics (the minhash verification oracle).
 
+    Physical plan (r6, guide §2.4 remove-shuffles): ONE groupBy(shingle)
+    builds the per-shingle SORTED doc-id posting list alongside the df
+    count; the a<b pair stream is a JVM higher-order expansion of each
+    surviving list (i<j over a sorted array == the old x.doc_id <
+    y.doc_id equi-self-join, pair for pair), and per-doc rare-shingle
+    sizes re-explode the same lists. This replaces the previous
+    dictionary-encode + sid self-join pipeline — a bucketed rank
+    window, an encode join and a two-sided self-join shuffle — with
+    one aggregation and two JVM explodes (measured 2.1s -> ~1.1s at
+    sf0.1). Skew contract unchanged: transient posting-list size is
+    O(max df) longs per group, and the pair explosion stays bounded by
+    max_df^2 per shingle because the cut applies before expansion."""
     from ..plans.session import mark_releasable
 
-    # the exploded shingle table feeds the df-cut aggregate, BOTH join
-    # sides and the per-doc sizes — persist once instead of re-running
-    # the string-heavy explode per consumer (operator caching contract:
-    # registered releasable, dropped by the caller's ReleaseScope)
-    sh = mark_releasable(shingles_df(docs, n).persist())
-    # DICTIONARY-ENCODE the shingle strings to int64 ids before the
-    # self-join: the df aggregate (needed for the max_df cut anyway)
-    # yields one row per distinct shingle; each gets a DETERMINISTIC
-    # dense id — rank within its hash bucket, sid = bucket<<40 | rank —
-    # a pure function of the shingle set (NOT monotonically_
-    # increasing_id, whose values shift if an evicted partition
-    # recomputes under a different layout, which would silently corrupt
-    # intersection counts at memory pressure). The heavy self-join then
-    # shuffles 8-byte keys instead of ~25-byte UTF-8 shingles (~3x
-    # fewer key bytes at web-text shingle lengths), and the persisted
-    # encoded frame is 2 longs/row. Exactness: the string->sid map is
-    # injective by construction, so per-pair intersection counts are
-    # identical to the string join's.
-    dic = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sh = shingles_df(docs, n)
+    grp = sh.groupBy("shingle").agg(
+        F.count("*").alias("df"),
+        F.array_sort(F.collect_list("doc_id")).alias("ds"),
+    )
     if max_df is not None:
-        dic = dic.filter(F.col("df") <= max_df)
-    nbkt = 1 << 10  # rank windows parallelize over 1024 buckets
-    w = Window.partitionBy("_bkt").orderBy("shingle")
-    dic = dic.withColumn(
-        "_bkt", F.pmod(F.xxhash64("shingle"), F.lit(nbkt))
-    ).select(
-        "shingle",
-        (F.shiftleft(F.col("_bkt"), 40) + F.row_number().over(w)).alias("sid"),
+        grp = grp.filter(F.col("df") <= max_df)
+    # posting lists feed BOTH the pair expansion and the per-doc sizes
+    # — materialize before the fan-out (AQE persist-race discipline)
+    grp = mark_releasable(grp.select("ds").persist())
+    grp.count()
+    sizes = (
+        grp.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
     )
-    sh = mark_releasable(
-        sh.join(dic, "shingle").select("doc_id", "sid").persist()
+    pair_arr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     pairs = (
-        sh.alias("x")
-        .join(sh.alias("y"), F.col("x.sid") == F.col("y.sid"))
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
-            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
-        )
+        grp.select(F.explode(pair_arr).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )
     return (
@@ -707,6 +702,7 @@ def simhash_neardup_pairs(
     from ..plans.session import mark_releasable
 
     sigs = mark_releasable(simhash_signatures(docs).persist())
+    sigs.count()  # several consumers; one signature-kernel run
     simpairs = _simhash_sig_pairs(sigs, max_hamming)
     reps = sigs.groupBy("sim").agg(F.min("doc_id").alias("keeper"))
 

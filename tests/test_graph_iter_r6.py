@@ -146,6 +146,34 @@ def test_sssp_fused_small_path_matches_split_pick(spark):
     assert fused == split
 
 
+def test_dbscan_small_path_matches_distributed(spark, monkeypatch):
+    """The fused single-task DBSCAN path must emit the identical
+    (id, role, cluster) set as the distributed join cascade."""
+    import covertree_spark.operators.graph_iter as gi
+    from tests.conftest import make_blobs
+
+    from covertree_spark.operators.dbscan import dbscan_labels
+    from covertree_spark.operators.partition import cell_stats
+
+    X = make_blobs(300, 3, 5, seed=9, spread=0.7)
+    rows = [(i, [float(v) for v in x], int(i) % 5) for i, x in enumerate(X)]
+    pts = spark.createDataFrame(
+        rows, "id long, vec array<float>, cell long"
+    ).persist()
+    stats = cell_stats(pts, 3, "cell", None)
+
+    def run():
+        df = dbscan_labels(pts, eps=1.2, min_pts=4, d=3, stats=stats)
+        return sorted((r["id"], r["role"], r["cluster"]) for r in df.collect())
+
+    small = run()
+    monkeypatch.setattr(gi, "SMALL_CUTOFF", 0)
+    dist = run()
+    assert small == dist
+    assert len(small) == 300
+    pts.unpersist()
+
+
 def test_bin_counts_match_pair_stream_agg(spark):
     """ball_self_join_bin_counts == the pair-stream conditional-sum
     aggregation it replaced, for both the parity (cross_k) and
