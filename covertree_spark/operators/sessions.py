@@ -36,6 +36,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# DATA-ADAPTIVE dial (r6, the components.py / graph_iter.py small-path
+# discipline applied to the session family): the two-phase plan exists
+# to BOUND the largest task by the largest (user, time-bucket) group.
+# When the WHOLE input is at most this many rows, the classic
+# one-window plan's largest task is bounded by the same number — the
+# hot-key contract holds trivially — and its single exchange replaces
+# the two-phase's 3-4 exchanges + stitch join (measured: the bucket
+# machinery is ~2x the wall of the one-window plan at bench scale,
+# pure fixed-latency stages). Above the cutoff (any 100 TB event
+# stream) the two-phase shape runs unchanged. Both shapes are
+# parity-tested identical (test_user_travel / test_sessions_r6).
+SMALL_CUTOFF = 2_000_000
+
+
+def _probe_rows(events: DataFrame, n_hint: int | None) -> int | None:
+    """Row count for the adaptive dial: the caller's hint, else one
+    count job (cheap for scan-only frames — parquet row-group
+    metadata; callers with derived inputs pass ``n_hint`` so the
+    probe never executes a subplan twice). None for streaming frames
+    (no count; the bounded two-phase shape is the only safe one)."""
+    if n_hint is not None:
+        return int(n_hint)
+    if events.isStreaming:
+        return None
+    return events.count()
+
 
 def sessionize(
     events: DataFrame,
@@ -44,6 +70,8 @@ def sessionize(
     ts_col: str = "ts",
     user_col: str = "user_id",
     id_col: str = "event_id",
+    n_hint: int | None = None,
+    small_cutoff: int = SMALL_CUTOFF,
 ) -> DataFrame:
     """(id_col, user_col, sess) with sess = 1-based session index per
     user; a gap > ``gap_us`` microseconds starts a new session.
@@ -51,6 +79,11 @@ def sessionize(
     bucket is a pure function of the timestamp). ``bucket_us`` defaults
     to 4x the gap — coarse enough that human-scale users occupy few
     buckets, fine enough to salt a bot's firehose."""
+    n = _probe_rows(events, n_hint)
+    if n is not None and n <= small_cutoff:
+        return sessionize_single_window(
+            events, gap_us, ts_col=ts_col, user_col=user_col, id_col=id_col
+        )
     if bucket_us is None:
         bucket_us = 4 * gap_us
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -148,6 +181,8 @@ def consecutive_pairs(
     ts_col: str = "ts",
     user_col: str = "user_id",
     id_col: str = "event_id",
+    n_hint: int | None = None,
+    small_cutoff: int = SMALL_CUTOFF,
 ) -> DataFrame:
     """(user_id, event_id, prev_id, us, prev_us) for every event that
     HAS a same-user predecessor under the (ts, id) order — the lag(1)
@@ -169,6 +204,32 @@ def consecutive_pairs(
     Each user's globally-first event appears in no output row (it has
     no predecessor) — same convention as SQL lag + IS NOT NULL."""
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    n = _probe_rows(events, n_hint)
+    if n is not None and n <= small_cutoff:
+        # one-window small path (see SMALL_CUTOFF): same (us, id)
+        # per-user order, same lag semantics, one exchange
+        return (
+            events.select(
+                F.col(user_col).alias("user_id"),
+                F.col(id_col).alias("event_id"),
+                us.alias("us"),
+            )
+            .select(
+                "user_id", "event_id", "us",
+                F.lag("event_id").over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.col("us").asc(), F.col("event_id").asc()
+                    )
+                ).alias("prev_id"),
+                F.lag("us").over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.col("us").asc(), F.col("event_id").asc()
+                    )
+                ).alias("prev_us"),
+            )
+            .filter(F.col("prev_id").isNotNull())
+            .select("user_id", "event_id", "prev_id", "us", "prev_us")
+        )
     ev = events.select(
         F.col(id_col).alias("_eid"),
         F.col(user_col).alias("_uid"),
@@ -219,6 +280,8 @@ def prefix_starts(
     user_col: str = "user_id",
     id_col: str = "event_id",
     flag_col: str = "st",
+    n_hint: int | None = None,
+    small_cutoff: int = SMALL_CUTOFF,
 ) -> DataFrame:
     """Per-user prefix count of ``flag_col`` (0/1) under the (us, id)
     order — the generalized sessionize final step for break flags
@@ -229,7 +292,19 @@ def prefix_starts(
     there is no bucket-boundary correction — the flags are final.
 
     All other input columns pass through; adds ``trip`` (1-based,
-    assuming each user's first event is flagged 1)."""
+    assuming each user's first event is flagged 1).
+
+    ``n_hint``: callers whose ``flagged`` is a DERIVED frame (joins,
+    UDF stages) MUST pass the known row count — the adaptive probe
+    would otherwise execute the subplan an extra time."""
+    n = _probe_rows(flagged, n_hint)
+    if n is not None and n <= small_cutoff:
+        w1 = Window.partitionBy(user_col).orderBy(
+            F.col(ts_us_col).asc(), F.col(id_col).asc()
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return flagged.withColumn(
+            "trip", F.sum(flag_col).over(w1).cast("bigint")
+        )
     bkt = F.floor(F.col(ts_us_col) / F.lit(int(bucket_us)))
     loc = flagged.withColumn("_bkt", bkt)
     w_local = Window.partitionBy(user_col, "_bkt").orderBy(

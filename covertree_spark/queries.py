@@ -2929,7 +2929,10 @@ def q_user_trips(spark, sf_dir):
     import pandas as pd
 
     ev = src.load_table(spark, sf_dir, "events")
-    pairs = sessions.consecutive_pairs(ev, bucket_us=TRAVEL_BUCKET_US)
+    n_ev = ev.count()  # adaptive-dial probe, shared with prefix_starts
+    pairs = sessions.consecutive_pairs(
+        ev, bucket_us=TRAVEL_BUCKET_US, n_hint=n_ev
+    )
 
     def seg(batches):
         for pdf in batches:
@@ -2959,7 +2962,10 @@ def q_user_trips(spark, sf_dir):
             F.when(F.col("m").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("st"),
         )
     )
-    trips = sessions.prefix_starts(flagged, bucket_us=TRAVEL_BUCKET_US)
+    # flagged is ev left-joined 1:1 — its cardinality IS the event count
+    trips = sessions.prefix_starts(
+        flagged, bucket_us=TRAVEL_BUCKET_US, n_hint=n_ev
+    )
     return trips.groupBy("user_id", "trip").agg(
         F.count("*").alias("n_events"),
         F.sum("seg_m").alias("trip_m"),
@@ -3384,7 +3390,10 @@ def q_stay_points(spark, sf_dir):
     — so no task ever holds a full user history. Dwell is an integer
     microsecond difference of engine-shared integers: exact."""
     ev = src.load_table(spark, sf_dir, "events")
-    pairs = sessions.consecutive_pairs(ev, bucket_us=TRAVEL_BUCKET_US)
+    n_ev = ev.count()  # adaptive-dial probe, shared with prefix_starts
+    pairs = sessions.consecutive_pairs(
+        ev, bucket_us=TRAVEL_BUCKET_US, n_hint=n_ev
+    )
     lon_p, lat_p = geometry.sql_lonlat_exprs("prev_id")
     lon_c, lat_c = geometry.sql_lonlat_exprs("event_id")
     c_prev = cellcodec.sql_cell_expr(lon_p, lat_p, STAY_RES)
