@@ -156,21 +156,39 @@ def poly_overlap_join(polys: DataFrame, cover_zoom: int = 6) -> DataFrame:
     join partitions."""
     from ..core.polygons import poly_pairs_intersect_batch
 
+    # r6 (guide §2.3 shuffle-keys-not-payloads): the co-tile pairing
+    # decides WHICH polygon pairs are candidates — it only needs ids.
+    # The vertex arrays are dropped before the tile self-join (they
+    # used to ride through BOTH join sides and the dedup aggregate)
+    # and re-attached from the polygon table afterwards, id-keyed —
+    # exact because xs/ys are a pure function of poly_id (what the
+    # old first() aggregate relied on too).
     frags = poly_tile_frags(polys, cover_zoom)
-    cand = (
-        frags.alias("x")
+    fid = frags.select("tile", "poly_id")
+    cand_ids = (
+        fid.alias("x")
         .join(
-            frags.alias("y"),
+            fid.alias("y"),
             (F.col("x.tile") == F.col("y.tile"))
             & (F.col("x.poly_id") < F.col("y.poly_id")),
         )
-        .groupBy(
-            F.col("x.poly_id").alias("a"), F.col("y.poly_id").alias("b")
-        )
-        .agg(
-            F.first("x.xs").alias("xsa"), F.first("x.ys").alias("ysa"),
-            F.first("y.xs").alias("xsb"), F.first("y.ys").alias("ysb"),
-        )
+        .select(F.col("x.poly_id").alias("a"), F.col("y.poly_id").alias("b"))
+        .distinct()
+    )
+    cand = cand_ids.join(
+        polys.select(
+            F.col("poly_id").alias("a"),
+            F.col("xs").alias("xsa"),
+            F.col("ys").alias("ysa"),
+        ),
+        "a",
+    ).join(
+        polys.select(
+            F.col("poly_id").alias("b"),
+            F.col("xs").alias("xsb"),
+            F.col("ys").alias("ysb"),
+        ),
+        "b",
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

