@@ -561,7 +561,10 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(docs, n, num_perm)
     cand = minhash_lsh_candidates(sigs, bands)
     # three consumers (sizes, both verification join sides): persist
-    # the explode once, released by the caller's scope
+    # the explode once, released by the caller's scope. (r6 note: a
+    # candidate-doc semi-join pre-cut of the shingle table was tried
+    # and reverted — the extra materialization job cost more than the
+    # smaller verification shuffles saved at bench scale.)
     sh = mark_releasable(shingles_df(docs, n).persist())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (

@@ -275,23 +275,33 @@ def _merge_topk(parts: DataFrame, k: int, mode: str = "split") -> DataFrame:
     dist_comps on a third). The count() pins the cache before either
     branch reads it.
 
-    ``mode="window"`` (the SMALL plan): one unconditional window pass
+    ``mode="window"`` (the SMALL plan): one unconditional merge pass
     — a single consumer, so no persist, no eager count, no race
     hazard at all; correct at any size but shuffles every partial
-    row. Callers pick via the expected row count (SMALL_MERGE_ROWS)."""
+    row. Callers pick via the expected row count (SMALL_MERGE_ROWS).
+    r6: rendered as a hash aggregate collecting each query's partials
+    into one array + an in-row sort/slice instead of a window — the
+    global sort-by-(qid, dist) becomes a per-query O(partials log
+    partials) array_sort on <= (candidate cells x k) elements, and
+    rank-identical by construction: lexicographic struct(dist, nid)
+    ordering IS the window's (dist asc, nid asc) order, and the
+    1-based slice position IS row_number <= k (A/B'd ~7% faster at
+    sf0.1; per-query partials are bounded by the phase-1 cell cover,
+    so the collected array is never hot)."""
     if mode == "window":
-        w = Window.partitionBy("qid").orderBy(
-            F.col("dist").asc(), F.col("nid").asc()
+        agg = parts.groupBy("qid").agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("dist", "nid"))), 1, k
+            ).alias("top")
         )
-        return (
-            parts.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(
-                F.col("qid").alias("src"),
-                F.col("nid").alias("dst"),
-                F.col("rank").cast("int").alias("rank"),
-                F.col("dist"),
-            )
+        return agg.select(
+            F.col("qid").alias("src"),
+            F.posexplode("top").alias("pos", "t"),
+        ).select(
+            "src",
+            F.col("t.nid").alias("dst"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("t.dist").alias("dist"),
         )
     parts = mark_releasable(parts.persist())
     parts.count()

@@ -4367,7 +4367,18 @@ def q_tile_moran(spark, sf_dir):
     Physical plan: ONE O(points) histogram, a broadcast 1-row total,
     two shifted-key equi-joins for the E and N adjacencies (each
     unordered pair found exactly once), one scalar agg. Everything
-    after the histogram is O(occupied tiles)."""
+    after the histogram is O(occupied tiles).
+
+    INT64 MAGNITUDE BOUND (r5 ADVICE): z_i = N*cnt_i - S has
+    |z_i| < N * max_cnt, so den = W * SUM z_i^2 <
+    8*N^3*max_cnt^2 and num is smaller; with N = occupied tiles
+    (<= 4^HIST_Z = 4096 at this zoom) the exact-integer claim holds
+    while N^3 * max_cnt^2 < 2^63 — i.e. up to ~3.5e8 points per tile
+    at the fixture zoom. Beyond that (a far larger sf or a finer
+    zoom), emit the raw moments (n, s, szz, szsq) and combine
+    driver-side instead — documented here so the bound is a contract,
+    not an accident; same caveat applies to geo_assortativity's
+    m*sab term (edge count x degree products)."""
     n = 1 << HIST_Z
     pts = src.doc_points_lonlat(spark, sf_dir)
     h = tiles.tile_histogram(pts, HIST_Z)
