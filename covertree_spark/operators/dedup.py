@@ -91,11 +91,11 @@ def tokens_df(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle).
-    Built-in transform over the token array — JVM-side."""
-    t = tokens_df(docs)
-    shingle_arr = F.when(
+def _shingle_arr(n: int):
+    """The distinct word-n-gram array expression over ``toks`` —
+    shared by the exploded stream and the per-doc size projection so
+    both are ONE definition."""
+    return F.when(
         F.size("toks") >= n,
         F.array_distinct(
             F.transform(
@@ -107,7 +107,24 @@ def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))  # short docs: no shingles,
     # matching the SQL oracle's empty generate_series
-    return t.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+
+
+def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+    Built-in transform over the token array — JVM-side."""
+    return tokens_df(docs).select(
+        "doc_id", F.explode(_shingle_arr(n)).alias("shingle")
+    )
+
+
+def shingle_counts_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sz): per-doc DISTINCT shingle count as a pure scan
+    projection — size(array_distinct(...)) over the same shared array
+    expression, so it equals counting shingles_df's exploded rows
+    without the explode + per-doc aggregation shuffle (guide §2.3)."""
+    return tokens_df(docs).select(
+        "doc_id", F.size(_shingle_arr(n)).alias("sz")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -142,21 +159,35 @@ def ngram_jaccard_pairs(
     from ..plans.session import mark_releasable
 
     sh = shingles_df(docs, n)
-    grp = sh.groupBy("shingle").agg(
+    grp_all = sh.groupBy("shingle").agg(
         F.count("*").alias("df"),
         F.array_sort(F.collect_list("doc_id")).alias("ds"),
     )
+    # per-doc RARE-shingle sizes: the total distinct count is a pure
+    # scan projection (shingle_counts_df — no O(shingle rows) explode
+    # + re-aggregation shuffle, guide §2.3); with a df cut, subtract
+    # each doc's membership in the DROPPED lists (usually none — the
+    # cut exists for boilerplate outliers), which re-explodes only
+    # those few lists.
+    sizes = shingle_counts_df(docs, n)
     if max_df is not None:
-        grp = grp.filter(F.col("df") <= max_df)
-    # posting lists feed BOTH the pair expansion and the per-doc sizes
-    # — materialize before the fan-out (AQE persist-race discipline)
-    grp = mark_releasable(grp.select("ds").persist())
-    grp.count()
-    sizes = (
-        grp.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("sz"))
-    )
+        grp_all = mark_releasable(grp_all.persist())
+        grp_all.count()  # one agg run; keep + dropped both read it
+        keep = grp_all.filter(F.col("df") <= max_df).select("ds")
+        dropped_n = (
+            grp_all.filter(F.col("df") > max_df)
+            .select(F.explode("ds").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("_dn"))
+        )
+        sizes = sizes.join(dropped_n, "doc_id", "left").select(
+            "doc_id",
+            (F.col("sz") - F.coalesce("_dn", F.lit(0))).alias("sz"),
+        )
+        grp = keep
+    else:
+        grp = mark_releasable(grp_all.select("ds").persist())
+        grp.count()
     pair_arr = F.expr(
         "flatten(transform(ds, (x, i) -> "
         "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
