@@ -127,6 +127,147 @@ def shingle_counts_df(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+# Data-adaptive dial for the posting-list Jaccard (the components.py
+# discipline): both quantities are MEASURED on the cached posting
+# lists before choosing, so the small task's footprint is a proved
+# bound, not a guess. At the cutoffs the one bounded task holds
+# <= 32M (a, b) int64 pairs + a two-key lexsort (~1.2 GB transient)
+# and <= 8M membership rows — trivial against the 128 GiB host class,
+# and any 100 TB corpus blows past both probes onto the distributed
+# expansion.
+_JACCARD_SMALL_PAIRS = 32_000_000
+_JACCARD_SMALL_ROWS = 8_000_000
+
+
+def _jaccard_emit(members: np.ndarray, run_lens: np.ndarray, pct: int):
+    """Shared small-path tail: ``members`` is the concatenation of the
+    SURVIVING posting lists (each list's doc ids sorted ascending and
+    unique within the list), ``run_lens`` the list lengths. Expands
+    every list's i<j pairs grouped by list length (one matrix reshape
+    per distinct length — max_df bounds the group count), counts
+    identical pairs, derives per-doc rare sizes as membership counts
+    over the same lists, and returns the filtered (a, b, inter, uni)
+    frame (or None). Pure integer set arithmetic — identical output
+    to the distributed expansion."""
+    import pandas as pd
+
+    if not len(members):
+        return None
+    uniq_docs, sz = np.unique(members, return_counts=True)
+    run_starts = np.r_[0, np.cumsum(run_lens)[:-1]]
+    pair_a: list[np.ndarray] = []
+    pair_b: list[np.ndarray] = []
+    for m in np.unique(run_lens):
+        if m < 2:
+            continue
+        sel = run_starts[run_lens == m]
+        mat = members[sel[:, None] + np.arange(int(m))]
+        iu, ju = np.triu_indices(int(m), 1)
+        pair_a.append(mat[:, iu].ravel())
+        pair_b.append(mat[:, ju].ravel())
+    if not pair_a:
+        return None
+    a = np.concatenate(pair_a)
+    b = np.concatenate(pair_b)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    new = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    starts = np.flatnonzero(new)
+    ua, ub = a[starts], b[starts]
+    inter = np.diff(np.r_[starts, len(a)])
+    sza = sz[np.searchsorted(uniq_docs, ua)]
+    szb = sz[np.searchsorted(uniq_docs, ub)]
+    uni = sza + szb - inter
+    hit = 100 * inter >= pct * uni
+    if not hit.any():
+        return None
+    return pd.DataFrame(
+        {
+            "a": ua[hit],
+            "b": ub[hit],
+            "inter": inter[hit].astype(np.int64),
+            "uni": uni[hit].astype(np.int64),
+        }
+    )
+
+
+_JACCARD_SCHEMA = "a bigint, b bigint, inter bigint, uni bigint"
+
+
+def _jaccard_pairs_small(lists: DataFrame, min_jaccard_pct: int) -> DataFrame:
+    """Bounded single-task Jaccard over surviving posting lists
+    (``ds`` sorted doc-id arrays) — see ``_jaccard_emit``."""
+    import pandas as pd
+
+    pct = int(min_jaccard_pct)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        blocks = [pdf for pdf in batches if not pdf.empty]
+        if not blocks:
+            return
+        ds = [
+            np.asarray(v, dtype=np.int64)
+            for pdf in blocks
+            for v in pdf["ds"]
+        ]
+        ds = [v for v in ds if len(v)]
+        if not ds:
+            return
+        members = np.concatenate(ds)
+        lens = np.fromiter((len(v) for v in ds), np.int64, len(ds))
+        out = _jaccard_emit(members, lens, pct)
+        if out is not None:
+            yield out
+
+    return lists.coalesce(1).mapInPandas(run, schema=_JACCARD_SCHEMA)
+
+
+def _jaccard_pairs_small_docs(
+    doc_sh: DataFrame, max_df: int, min_jaccard_pct: int
+) -> DataFrame:
+    """Bounded single-task Jaccard DIRECTLY from per-doc distinct
+    shingle arrays (doc_id, sharr) — skips the groupBy(shingle)
+    posting-list shuffle entirely when the probed shingle-row bound
+    fits one task. The posting lists are rebuilt in-kernel: factorize
+    the shingle strings, lexsort (code, doc) — runs are the per-
+    shingle doc lists, sorted and unique exactly as array_sort +
+    collect_list produced them — apply the df cut per run, then the
+    shared ``_jaccard_emit`` tail. String identity (pandas factorize)
+    matches the JVM groupBy's string equality — no hashing anywhere,
+    so the output is bit-identical to the distributed path."""
+    import pandas as pd
+
+    pct = int(min_jaccard_pct)
+    cut = int(max_df)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        blocks = [pdf for pdf in batches if not pdf.empty]
+        if not blocks:
+            return
+        doc_ids: list[np.ndarray] = []
+        arrs: list[np.ndarray] = []
+        for pdf in blocks:
+            doc_ids.append(pdf["doc_id"].to_numpy(np.int64))
+            arrs.extend(pdf["sharr"])
+        lens = np.fromiter((len(v) for v in arrs), np.int64, len(arrs))
+        if int(lens.sum()) == 0:
+            return
+        docs_flat = np.repeat(np.concatenate(doc_ids), lens)
+        flat = np.concatenate([np.asarray(v, dtype=object) for v in arrs if len(v)])
+        codes, _ = pd.factorize(flat)
+        order = np.lexsort((docs_flat, codes))
+        c, d = codes[order], docs_flat[order]
+        run_starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        run_lens = np.diff(np.r_[run_starts, len(c)])
+        kept = run_lens <= cut
+        members = d[np.repeat(kept, run_lens)]
+        out = _jaccard_emit(members, run_lens[kept], pct)
+        if out is not None:
+            yield out
+
+    return doc_sh.coalesce(1).mapInPandas(run, schema=_JACCARD_SCHEMA)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 3, min_jaccard_pct: int = 50,
     max_df: int | None = None,
@@ -146,23 +287,87 @@ def ngram_jaccard_pairs(
 
     Physical plan (r6, guide §2.4 remove-shuffles): ONE groupBy(shingle)
     builds the per-shingle SORTED doc-id posting list alongside the df
-    count; the a<b pair stream is a JVM higher-order expansion of each
-    surviving list (i<j over a sorted array == the old x.doc_id <
-    y.doc_id equi-self-join, pair for pair), and per-doc rare-shingle
-    sizes re-explode the same lists. This replaces the previous
-    dictionary-encode + sid self-join pipeline — a bucketed rank
-    window, an encode join and a two-sided self-join shuffle — with
-    one aggregation and two JVM explodes (measured 2.1s -> ~1.1s at
-    sf0.1). Skew contract unchanged: transient posting-list size is
+    count, persisted and materialized once. A free probe on the cached
+    frame (sum df / sum C(df,2) over surviving lists) then picks the
+    regime — the components.py data-adaptive dial:
+
+      * small (probed pair volume under ``_JACCARD_SMALL_PAIRS`` and
+        membership under ``_JACCARD_SMALL_ROWS`` — a bounded-task
+        guarantee, not a guess): ONE numpy task expands every
+        surviving list's i<j pairs (grouped by list length — max_df
+        bounds it — so the expansion is a handful of matrix reshapes),
+        computes per-doc rare sizes as membership counts over the same
+        lists, and emits the filtered Jaccard rows directly. The JVM
+        Generate this replaces was the measured bottleneck (~1M
+        struct rows/s through flatten/transform/slice; the kernel does
+        the same expansion in <0.1s). sz(doc) = number of surviving
+        lists containing doc == the distributed path's "total distinct
+        minus dropped membership" arithmetic, integer-exact.
+      * distributed (any 100 TB corpus): the a<b pair stream is a JVM
+        higher-order expansion of each surviving list (i<j over an
+        id-sorted array == the old x.doc_id < y.doc_id
+        equi-self-join, pair for pair), aggregated by pair; per-doc
+        rare-shingle sizes come from the scan-projection total minus
+        membership in the few dropped lists. Unchanged from the shape
+        that replaced r5's dictionary-encode + sid self-join pipeline.
+
+    Both regimes produce identical row sets (pinned by
+    tests/test_dedup_r6.py parity on forced paths + the sf0.01
+    oracle). Skew contract unchanged: transient posting-list size is
     O(max df) longs per group, and the pair explosion stays bounded by
     max_df^2 per shingle because the cut applies before expansion."""
     from ..plans.session import mark_releasable
+
+    if max_df is not None:
+        # Direct-from-docs small path: with a df cut, surviving pair
+        # volume is bounded by n_rows * (max_df - 1) / 2 WITHOUT
+        # building the posting lists, so a metadata-cheap doc count
+        # gate plus one scan-projection probe (sum of per-doc distinct
+        # shingle counts — no shuffle) can justify skipping the
+        # groupBy(shingle) exchange entirely. Any 100 TB corpus fails
+        # the doc-count gate before the probe scan is even submitted.
+        n_docs = docs.count()
+        if n_docs <= _JACCARD_SMALL_ROWS:
+            n_rows = int(
+                shingle_counts_df(docs, n)
+                .agg(F.coalesce(F.sum("sz"), F.lit(0)))
+                .collect()[0][0]
+            )
+            if (
+                n_rows <= _JACCARD_SMALL_ROWS
+                and n_rows * (max_df - 1) // 2 <= _JACCARD_SMALL_PAIRS
+            ):
+                doc_sh = tokens_df(docs).select(
+                    "doc_id", _shingle_arr(n).alias("sharr")
+                )
+                return _jaccard_pairs_small_docs(
+                    doc_sh, max_df, min_jaccard_pct
+                )
 
     sh = shingles_df(docs, n)
     grp_all = sh.groupBy("shingle").agg(
         F.count("*").alias("df"),
         F.array_sort(F.collect_list("doc_id")).alias("ds"),
     )
+    grp_all = mark_releasable(grp_all.persist())
+    kept_pred = (
+        F.col("df") <= max_df if max_df is not None else F.lit(True)
+    )
+    probe = grp_all.agg(
+        F.coalesce(F.sum(F.when(kept_pred, F.col("df"))), F.lit(0)).alias("s"),
+        F.coalesce(
+            F.sum(
+                F.when(kept_pred, F.col("df") * (F.col("df") - 1) / 2)
+            ).cast("bigint"),
+            F.lit(0),
+        ).alias("p"),
+    ).collect()[0]
+    n_rows, n_pairs = int(probe["s"]), int(probe["p"])
+    keep = grp_all.filter(kept_pred) if max_df is not None else grp_all
+
+    if n_pairs <= _JACCARD_SMALL_PAIRS and n_rows <= _JACCARD_SMALL_ROWS:
+        return _jaccard_pairs_small(keep.select("ds"), min_jaccard_pct)
+
     # per-doc RARE-shingle sizes: the total distinct count is a pure
     # scan projection (shingle_counts_df — no O(shingle rows) explode
     # + re-aggregation shuffle, guide §2.3); with a df cut, subtract
@@ -171,9 +376,6 @@ def ngram_jaccard_pairs(
     # those few lists.
     sizes = shingle_counts_df(docs, n)
     if max_df is not None:
-        grp_all = mark_releasable(grp_all.persist())
-        grp_all.count()  # one agg run; keep + dropped both read it
-        keep = grp_all.filter(F.col("df") <= max_df).select("ds")
         dropped_n = (
             grp_all.filter(F.col("df") > max_df)
             .select(F.explode("ds").alias("doc_id"))
@@ -184,16 +386,12 @@ def ngram_jaccard_pairs(
             "doc_id",
             (F.col("sz") - F.coalesce("_dn", F.lit(0))).alias("sz"),
         )
-        grp = keep
-    else:
-        grp = mark_releasable(grp_all.select("ds").persist())
-        grp.count()
     pair_arr = F.expr(
         "flatten(transform(ds, (x, i) -> "
         "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
     )
     pairs = (
-        grp.select(F.explode(pair_arr).alias("p"))
+        keep.select(F.explode(pair_arr).alias("p"))
         .select("p.a", "p.b")
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
