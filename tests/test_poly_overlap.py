@@ -98,3 +98,45 @@ def test_poly_overlap_join_matches_brute_force(spark):
         map(tuple, pip.poly_overlap_join(polys, cover_zoom=9).collect())
     )
     assert got9 == want
+
+
+@pytest.mark.usefixtures("spark")
+def test_poly_overlap_small_path_matches_distributed(spark, monkeypatch):
+    """r6 dial parity: the bounded single-task sweep and the
+    tile-cover join must produce identical pair sets — exercised on
+    mixed-arity rings (diamonds + hexagons) so the arity-grouped
+    kernel dispatch is covered on both paths."""
+    from covertree_spark import queries as Q
+    from covertree_spark.operators import pip
+
+    diamonds = Q._doc_diamonds(spark, SF_DIR)
+    rows = []
+    for r in diamonds.collect():
+        rows.append(
+            (r.poly_id, [float(v) for v in r.xs], [float(v) for v in r.ys])
+        )
+        if r.poly_id % 3 == 0:  # add a hexagon ring nearby
+            cx = sum(r.xs) / 4 + 0.01
+            cy = sum(r.ys) / 4
+            rad = (max(r.xs) - min(r.xs)) / 2
+            ang = [k * np.pi / 3 for k in range(6)]
+            rows.append(
+                (
+                    10_000 + r.poly_id,
+                    [float(cx + rad * np.cos(t)) for t in ang],
+                    [float(cy + rad * np.sin(t)) for t in ang],
+                )
+            )
+    polys = spark.createDataFrame(
+        rows, "poly_id bigint, xs array<double>, ys array<double>"
+    )
+    small = sorted(map(tuple, pip.poly_overlap_join(polys).collect()))
+    monkeypatch.setattr(pip, "_POLY_SMALL_POLYS", 0)
+    dist = sorted(map(tuple, pip.poly_overlap_join(polys).collect()))
+    assert len(small) > 0
+    assert small == dist
+    # chunked sweep emission: force multi-block and re-compare
+    monkeypatch.setattr(pip, "_POLY_SMALL_POLYS", 10**9)
+    monkeypatch.setattr(pip, "_POLY_SWEEP_BLOCK", 97)
+    blocked = sorted(map(tuple, pip.poly_overlap_join(polys).collect()))
+    assert blocked == small
