@@ -882,14 +882,121 @@ def _sim_band_keys(sim_col):
     return keys
 
 
+# Data-adaptive dial for the simhash signature-pair search: below
+# this many DISTINCT signatures (a measured count, not a guess) the
+# qualifying pairs come from ONE bounded task doing a blocked
+# XOR-popcount over all n^2/2 signature pairs (~134M uint64 ops at
+# the cutoff, a few hundred ms; peak block transient ~128 MB) —
+# replacing the 20-key band explode + self-join + distinct pipeline
+# whose fixed shuffle stages dwarf the actual work at this size.
+# Exactness is unconditional both ways: brute force enumerates every
+# pair, and the banding is exact for max_hamming <= 3 by pigeonhole,
+# so the two paths produce the identical pair set.
+_SIMHASH_SMALL_SIGS = 16_384
+
+
+def _ham_pair_blocks(s_sorted: np.ndarray, max_hamming: int):
+    """Blocked brute-force Hamming search over SORTED distinct signed
+    int64 signatures: yields (ii, jj, ham) index blocks with ii < jj
+    (strict upper triangle — sa < sb in the JVM's signed order).
+    ~128 MB xor transient per block regardless of n."""
+    tbl = np.array(
+        [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
+    )
+    u = s_sorted.view(np.uint64)
+    n = len(s_sorted)
+    m16 = np.uint64(0xFFFF)
+    step = max(1, (1 << 24) // max(n, 1))
+    for i0 in range(0, n, step):
+        i1 = min(i0 + step, n)
+        x = u[i0:i1, None] ^ u[None, :]
+        ham = (
+            tbl[(x & m16).astype(np.int64)].astype(np.int16)
+            + tbl[((x >> np.uint64(16)) & m16).astype(np.int64)]
+            + tbl[((x >> np.uint64(32)) & m16).astype(np.int64)]
+            + tbl[(x >> np.uint64(48)).astype(np.int64)]
+        )
+        ii, jj = np.nonzero(ham <= int(max_hamming))
+        keep = ii + i0 < jj
+        ii, jj = ii[keep], jj[keep]
+        if len(ii):
+            yield ii + i0, jj, ham[ii, jj].astype(np.int32)
+
+
+def _simhash_pairs_small(usims: DataFrame, max_hamming: int) -> DataFrame:
+    """Bounded single-task (sa, sb, ham) over distinct signatures —
+    see ``_ham_pair_blocks``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        blocks = [pdf for pdf in batches if not pdf.empty]
+        if not blocks:
+            return
+        s = np.sort(
+            np.concatenate([pdf["sim"].to_numpy(np.int64) for pdf in blocks])
+        )
+        for ii, jj, ham in _ham_pair_blocks(s, max_hamming):
+            yield pd.DataFrame({"sa": s[ii], "sb": s[jj], "ham": ham})
+
+    return usims.coalesce(1).mapInPandas(
+        run, schema="sa bigint, sb bigint, ham int"
+    )
+
+
+def _simhash_groups_small(sigs: DataFrame, max_hamming: int) -> DataFrame:
+    """Bounded single-task GROUPS representation over (doc_id, sim):
+    one kernel computes the identical-signature stars (keeper = min
+    doc_id per signature, ham = 0) AND the cross rows between group
+    keepers of qualifying signature pairs — the same integer
+    arithmetic as the reps-aggregate + star/cross join pipeline it
+    replaces, in one task instead of five shuffle stages."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        blocks = [pdf for pdf in batches if not pdf.empty]
+        if not blocks:
+            return
+        doc = np.concatenate([pdf["doc_id"].to_numpy(np.int64) for pdf in blocks])
+        sim = np.concatenate([pdf["sim"].to_numpy(np.int64) for pdf in blocks])
+        order = np.lexsort((doc, sim))
+        sim, doc = sim[order], doc[order]
+        new = np.r_[True, sim[1:] != sim[:-1]]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, len(sim)])
+        usim = sim[starts]  # ascending (lexsort major key)
+        keeper = doc[starts]  # min doc_id per group (doc minor key)
+        # stars: every non-keeper member of each group
+        member_mask = ~new
+        out_a = [np.repeat(keeper, lens - 1)]
+        out_b = [doc[member_mask]]
+        out_h = [np.zeros(int((lens - 1).sum()), np.int32)]
+        for ii, jj, ham in _ham_pair_blocks(usim, max_hamming):
+            ka, kb = keeper[ii], keeper[jj]
+            out_a.append(np.minimum(ka, kb))
+            out_b.append(np.maximum(ka, kb))
+            out_h.append(ham)
+        yield pd.DataFrame(
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "ham": np.concatenate(out_h),
+            }
+        )
+
+    return sigs.coalesce(1).mapInPandas(run, schema="a bigint, b bigint, ham int")
+
+
 def _simhash_sig_pairs(sigs: DataFrame, max_hamming: int) -> DataFrame:
     """(sa, sb, ham): qualifying DISTINCT-SIGNATURE pairs via the
     20-way 3-block multi-index banding, verified with bit_count — all
     JVM-side. Banding over distinct signatures, not documents:
     web-scale corpora are duplicate-heavy, so identical-signature
     groups would otherwise meet themselves in every one of the 20
-    bands (a quadratic intra-bucket blowup the banding cannot prune)."""
+    bands (a quadratic intra-bucket blowup the banding cannot prune).
+    Below ``_SIMHASH_SMALL_SIGS`` distinct signatures (probed), the
+    pairs come from the bounded brute-force task instead — identical
+    output, see the dial note above."""
     usims = sigs.select("sim").distinct()
+    if usims.count() <= _SIMHASH_SMALL_SIGS:
+        return _simhash_pairs_small(usims, max_hamming)
     banded = usims.select(
         "sim", F.explode(F.array(*_sim_band_keys(F.col("sim")))).alias("bkey")
     )
@@ -934,7 +1041,13 @@ def simhash_neardup_pairs(
     from ..plans.session import mark_releasable
 
     sigs = mark_releasable(simhash_signatures(docs).persist())
-    sigs.count()  # several consumers; one signature-kernel run
+    n_docs = sigs.count()  # several consumers; one signature-kernel run
+    if representation == "groups" and n_docs <= _SIMHASH_SMALL_SIGS:
+        # distinct signatures <= documents, so the already-collected
+        # count gates the bounded one-task groups kernel with no extra
+        # probe job; the shuffle pipeline below stays the default for
+        # anything bigger (tests pin parity on forced paths).
+        return _simhash_groups_small(sigs, max_hamming)
     simpairs = _simhash_sig_pairs(sigs, max_hamming)
     reps = sigs.groupBy("sim").agg(F.min("doc_id").alias("keeper"))
 

@@ -77,3 +77,83 @@ def test_jaccard_lists_kernel_matches_distributed(spark, docs, monkeypatch):
         dedup.ngram_jaccard_pairs(docs, n=3, min_jaccard_pct=50, max_df=max_df)
     )
     assert via_lists == distributed
+
+
+def test_simhash_small_pairs_match_banding(spark, monkeypatch):
+    """r6 dial parity: brute-force popcount small path == the 20-way
+    banding join on the same signature set (banding is exact for
+    ham <= 3, so both are the complete pair set)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(-(2**62), 2**62, size=300, dtype=np.int64)
+    sigs = [int(v) for v in base]
+    for v in base[:80]:  # perturb by 1-3 bit flips => guaranteed pairs
+        w = int(v)
+        for bit in rng.choice(64, size=int(rng.integers(1, 4)), replace=False):
+            w ^= 1 << int(bit)
+        sigs.append(np.int64(np.uint64(w % (1 << 64))).item())
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "doc_id bigint, sim bigint"
+    )
+    small = sorted(
+        tuple(r) for r in dedup._simhash_sig_pairs(df, 3).collect()
+    )
+    monkeypatch.setattr(dedup, "_SIMHASH_SMALL_SIGS", -1)
+    banded = sorted(
+        tuple(r) for r in dedup._simhash_sig_pairs(df, 3).collect()
+    )
+    assert len(small) > 0
+    assert small == banded
+
+
+def test_simhash_groups_small_matches_pipeline(spark, monkeypatch):
+    """r6 dial parity on the full GROUPS representation: one-task
+    kernel == reps/star/cross join pipeline, including duplicate
+    signature groups (stars) and near signatures (cross rows)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(-(2**62), 2**62, size=200, dtype=np.int64)
+    rows = []
+    i = 0
+    for v in base:
+        for _ in range(int(rng.integers(1, 4))):  # duplicate groups
+            rows.append((i, int(v)))
+            i += 1
+        if i % 5 == 0:  # near signature
+            w = int(v) ^ (1 << int(rng.integers(0, 64)))
+            rows.append((i, np.int64(np.uint64(w % (1 << 64))).item()))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # bypass the text kernel: call the pair layer on a sig frame
+    sig_df = spark.createDataFrame(rows, "doc_id bigint, sim bigint")
+    from covertree_spark.plans.session import mark_releasable
+
+    cached = mark_releasable(sig_df.persist())
+    cached.count()
+    small = sorted(
+        tuple(r) for r in dedup._simhash_groups_small(cached, 3).collect()
+    )
+    monkeypatch.setattr(dedup, "_SIMHASH_SMALL_SIGS", -1)
+    simpairs = dedup._simhash_sig_pairs(cached, 3)
+    reps = cached.groupBy("sim").agg(F.min("doc_id").alias("keeper"))
+    star = (
+        cached.join(reps, "sim")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(
+            F.col("keeper").alias("a"),
+            F.col("doc_id").alias("b"),
+            F.lit(0).cast("int").alias("ham"),
+        )
+    )
+    cross = (
+        simpairs.join(
+            reps.select(F.col("sim").alias("sa"), F.col("keeper").alias("ka")), "sa"
+        )
+        .join(reps.select(F.col("sim").alias("sb"), F.col("keeper").alias("kb")), "sb")
+        .select(F.least("ka", "kb").alias("a"), F.greatest("ka", "kb").alias("b"), "ham")
+    )
+    pipeline = sorted(tuple(r) for r in cross.unionByName(star).collect())
+    assert len(small) > 0
+    assert small == pipeline
