@@ -222,6 +222,70 @@ def _jaccard_pairs_small(lists: DataFrame, min_jaccard_pct: int) -> DataFrame:
     return lists.coalesce(1).mapInPandas(run, schema=_JACCARD_SCHEMA)
 
 
+def _jaccard_docs_gate(docs: DataFrame, n: int, max_df: int | None):
+    """Direct-from-docs small-path gate: with a df cut, surviving pair
+    volume is bounded by n_rows * (max_df - 1) / 2 WITHOUT building
+    the posting lists, so a metadata-cheap doc count gate plus one
+    scan-projection probe (sum of per-doc distinct shingle counts — no
+    shuffle) can justify skipping the groupBy(shingle) exchange
+    entirely. Any 100 TB corpus fails the doc-count gate before the
+    probe scan is even submitted. Returns the (doc_id, sharr) frame
+    when the bounds hold, else None."""
+    if max_df is None:
+        return None
+    n_docs = docs.count()
+    if n_docs > _JACCARD_SMALL_ROWS:
+        return None
+    # token-count bound, NOT the distinct-shingle count: per doc,
+    # distinct shingles <= max(tokens - n + 1, 0), so this probe needs
+    # no n-gram construction or dedup — a third of the scan cost of
+    # sizing the real shingle arrays, and still a proved upper bound.
+    n_rows = int(
+        tokens_df(docs)
+        .agg(
+            F.coalesce(
+                F.sum(F.greatest(F.size("toks") - (n - 1), F.lit(0))),
+                F.lit(0),
+            )
+        )
+        .collect()[0][0]
+    )
+    if (
+        n_rows > _JACCARD_SMALL_ROWS
+        or n_rows * (max_df - 1) // 2 > _JACCARD_SMALL_PAIRS
+    ):
+        return None
+    return tokens_df(docs).select("doc_id", _shingle_arr(n).alias("sharr"))
+
+
+def _docs_kernel_pairs(blocks, cut: int, pct: int):
+    """Shared direct-from-docs kernel core: factorize the shingle
+    strings of the collected (doc_id, sharr) blocks, rebuild the
+    per-shingle posting lists via one (code, doc) lexsort, apply the
+    df cut per run, and return (all_doc_ids, jaccard_pairs_df_or_None)
+    — the pair set is exactly ``_jaccard_emit`` over the surviving
+    lists."""
+    doc_ids: list[np.ndarray] = []
+    arrs: list[np.ndarray] = []
+    for pdf in blocks:
+        doc_ids.append(pdf["doc_id"].to_numpy(np.int64))
+        arrs.extend(pdf["sharr"])
+    all_ids = np.concatenate(doc_ids)
+    lens = np.fromiter((len(v) for v in arrs), np.int64, len(arrs))
+    if int(lens.sum()) == 0:
+        return all_ids, None
+    docs_flat = np.repeat(all_ids, lens)
+    flat = np.concatenate([np.asarray(v, dtype=object) for v in arrs if len(v)])
+    codes, _ = pd.factorize(flat)
+    order = np.lexsort((docs_flat, codes))
+    c, d = codes[order], docs_flat[order]
+    run_starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    run_lens = np.diff(np.r_[run_starts, len(c)])
+    kept = run_lens <= cut
+    members = d[np.repeat(kept, run_lens)]
+    return all_ids, _jaccard_emit(members, run_lens[kept], pct)
+
+
 def _jaccard_pairs_small_docs(
     doc_sh: DataFrame, max_df: int, min_jaccard_pct: int
 ) -> DataFrame:
@@ -244,28 +308,53 @@ def _jaccard_pairs_small_docs(
         blocks = [pdf for pdf in batches if not pdf.empty]
         if not blocks:
             return
-        doc_ids: list[np.ndarray] = []
-        arrs: list[np.ndarray] = []
-        for pdf in blocks:
-            doc_ids.append(pdf["doc_id"].to_numpy(np.int64))
-            arrs.extend(pdf["sharr"])
-        lens = np.fromiter((len(v) for v in arrs), np.int64, len(arrs))
-        if int(lens.sum()) == 0:
-            return
-        docs_flat = np.repeat(np.concatenate(doc_ids), lens)
-        flat = np.concatenate([np.asarray(v, dtype=object) for v in arrs if len(v)])
-        codes, _ = pd.factorize(flat)
-        order = np.lexsort((docs_flat, codes))
-        c, d = codes[order], docs_flat[order]
-        run_starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
-        run_lens = np.diff(np.r_[run_starts, len(c)])
-        kept = run_lens <= cut
-        members = d[np.repeat(kept, run_lens)]
-        out = _jaccard_emit(members, run_lens[kept], pct)
+        _ids, out = _docs_kernel_pairs(blocks, cut, pct)
         if out is not None:
             yield out
 
     return doc_sh.coalesce(1).mapInPandas(run, schema=_JACCARD_SCHEMA)
+
+
+def _neardup_groups_small(
+    doc_sh: DataFrame, max_df: int, min_jaccard_pct: int
+) -> DataFrame:
+    """Fused bounded single-task near-dup clustering: the direct
+    Jaccard kernel's pair output feeds the components union-find
+    (the identical ``_uf_min_labels`` the distributed small path
+    runs) inside the SAME task, and every input doc labels itself as
+    a singleton unless an edge relabels it — eliminating the separate
+    canonical-edge distinct, localCheckpoint, convergence-signature
+    and node-join jobs. Output (doc_id, group_id, is_keeper), exactly
+    connected-components min-id labels."""
+    from .components import _uf_min_labels
+
+    pct = int(min_jaccard_pct)
+    cut = int(max_df)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        blocks = [pdf for pdf in batches if not pdf.empty]
+        if not blocks:
+            return
+        all_ids, out = _docs_kernel_pairs(blocks, cut, pct)
+        label = all_ids.copy()
+        if out is not None and len(out):
+            ids, lab = _uf_min_labels(
+                out["a"].to_numpy(np.int64), out["b"].to_numpy(np.int64)
+            )
+            pos = np.searchsorted(np.sort(all_ids), ids)
+            order = np.argsort(all_ids, kind="stable")
+            label[order[pos]] = lab
+        yield pd.DataFrame(
+            {
+                "doc_id": all_ids,
+                "group_id": label,
+                "is_keeper": (all_ids == label).astype(np.int64),
+            }
+        )
+
+    return doc_sh.coalesce(1).mapInPandas(
+        run, schema="doc_id bigint, group_id bigint, is_keeper bigint"
+    )
 
 
 def ngram_jaccard_pairs(
@@ -318,31 +407,9 @@ def ngram_jaccard_pairs(
     max_df^2 per shingle because the cut applies before expansion."""
     from ..plans.session import mark_releasable
 
-    if max_df is not None:
-        # Direct-from-docs small path: with a df cut, surviving pair
-        # volume is bounded by n_rows * (max_df - 1) / 2 WITHOUT
-        # building the posting lists, so a metadata-cheap doc count
-        # gate plus one scan-projection probe (sum of per-doc distinct
-        # shingle counts — no shuffle) can justify skipping the
-        # groupBy(shingle) exchange entirely. Any 100 TB corpus fails
-        # the doc-count gate before the probe scan is even submitted.
-        n_docs = docs.count()
-        if n_docs <= _JACCARD_SMALL_ROWS:
-            n_rows = int(
-                shingle_counts_df(docs, n)
-                .agg(F.coalesce(F.sum("sz"), F.lit(0)))
-                .collect()[0][0]
-            )
-            if (
-                n_rows <= _JACCARD_SMALL_ROWS
-                and n_rows * (max_df - 1) // 2 <= _JACCARD_SMALL_PAIRS
-            ):
-                doc_sh = tokens_df(docs).select(
-                    "doc_id", _shingle_arr(n).alias("sharr")
-                )
-                return _jaccard_pairs_small_docs(
-                    doc_sh, max_df, min_jaccard_pct
-                )
+    doc_sh = _jaccard_docs_gate(docs, n, max_df)
+    if doc_sh is not None:
+        return _jaccard_pairs_small_docs(doc_sh, max_df, min_jaccard_pct)
 
     sh = shingles_df(docs, n)
     grp_all = sh.groupBy("shingle").agg(
@@ -471,6 +538,13 @@ def neardup_groups(
     from .components import connected_components
 
     if pairs is None:
+        # fused small path (r6): when the direct-from-docs Jaccard
+        # gate holds, pairs + union-find + singleton labels run in ONE
+        # bounded task (see _neardup_groups_small) instead of the pair
+        # kernel followed by the components job chain.
+        doc_sh = _jaccard_docs_gate(docs, n, max_df)
+        if doc_sh is not None:
+            return _neardup_groups_small(doc_sh, max_df, min_jaccard_pct)
         pairs = ngram_jaccard_pairs(
             docs, n=n, min_jaccard_pct=min_jaccard_pct, max_df=max_df
         )

@@ -157,3 +157,14 @@ def test_simhash_groups_small_matches_pipeline(spark, monkeypatch):
     pipeline = sorted(tuple(r) for r in cross.unionByName(star).collect())
     assert len(small) > 0
     assert small == pipeline
+
+
+def test_neardup_groups_fused_matches_distributed(spark, docs, monkeypatch):
+    """r6 fused small path: one-task pairs+union-find+singletons ==
+    the pair kernel followed by connected_components."""
+    fused = _rows(dedup.neardup_groups(docs, n=3, min_jaccard_pct=50, max_df=6))
+    monkeypatch.setattr(dedup, "_JACCARD_SMALL_ROWS", 0)
+    monkeypatch.setattr(dedup, "_JACCARD_SMALL_PAIRS", 0)
+    dist = _rows(dedup.neardup_groups(docs, n=3, min_jaccard_pct=50, max_df=6))
+    assert fused == dist
+    assert any(r[2] == 0 for r in fused)  # non-trivial clusters exist
