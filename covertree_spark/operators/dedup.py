@@ -858,28 +858,35 @@ def minhash_dedup_pairs(
     min_jaccard_pct: int = 50,
 ) -> DataFrame:
     """Full MinHash-LSH plan: signatures -> band buckets -> candidates
-    -> exact shingle-Jaccard verification of candidates only."""
-    from ..plans.session import mark_releasable
+    -> exact shingle-Jaccard verification of candidates only.
 
+    Verification (r6): the candidate pairs attach each side's DISTINCT
+    shingle ARRAY (one id-keyed join per side, one row per doc) and
+    decide with ``array_intersect`` — the same string-equality
+    intersection the old exploded-shingle joins computed, without the
+    persisted explode job, the per-doc size aggregate, or the
+    (doc, shingle)-keyed string shuffle (measured ~2.0s -> ~1.8s at
+    sf0.1; the join now moves one array row per doc instead of one row
+    per shingle). (An earlier candidate-doc semi-join pre-cut of the
+    shingle table was tried and reverted — the extra materialization
+    job cost more than it saved at bench scale.)"""
     sigs = minhash_signatures(docs, n, num_perm)
     cand = minhash_lsh_candidates(sigs, bands)
-    # three consumers (sizes, both verification join sides): persist
-    # the explode once, released by the caller's scope. (r6 note: a
-    # candidate-doc semi-join pre-cut of the shingle table was tried
-    # and reverted — the extra materialization job cost more than the
-    # smaller verification shuffles saved at bench scale.)
-    sh = mark_releasable(shingles_df(docs, n).persist())
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
-        .join(sh.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
+    arr = tokens_df(docs).select("doc_id", _shingle_arr(n).alias("sharr"))
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
-        .withColumn("uni", F.col("sza") + F.col("szb") - F.col("inter"))
+        cand.join(
+            arr.select(F.col("doc_id").alias("a"), F.col("sharr").alias("sa")), "a"
+        )
+        .join(
+            arr.select(F.col("doc_id").alias("b"), F.col("sharr").alias("sb")), "b"
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("sa", "sb")).cast("bigint")
+        )
+        .withColumn(
+            "uni",
+            (F.size("sa") + F.size("sb")).cast("bigint") - F.col("inter"),
+        )
         .filter(F.lit(100) * F.col("inter") >= F.lit(min_jaccard_pct) * F.col("uni"))
         .select("a", "b", "inter", "uni")
     )
