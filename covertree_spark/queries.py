@@ -3753,10 +3753,11 @@ def q_nn_event(spark, sf_dir):
     safe by measured clearance: min (rank1 - rank2) distance gap at
     sf0.01 is 1.15e-3, nine orders above the GEMM-vs-explicit ulp
     skew (pinned by test_nn_event_rank_clearance). The metre payload
-    reuses the op-order-mirrored integer haversine (user_travel's
-    discipline)."""
-    import pandas as pd
-
+    is the op-order-mirrored integer haversine evaluated as a JVM
+    expression (r6 — the geo_sssp edge-weight discipline: the SQL
+    rendering is bit-identical to the numpy kernel it replaces,
+    verified 0 mismatches over the sf0.1 pair stream, and drops the
+    finalize's Python stage)."""
     epts, estats = _ev_points(spark, sf_dir)
     dpts, _ = _geo_points(spark, sf_dir)
     n_docs = src.load_table(spark, sf_dir, "documents").count()
@@ -3764,23 +3765,13 @@ def q_nn_event(spark, sf_dir):
         epts, k=1, d=3, stats=estats,
         queries=dpts.select("id", "vec"), n_queries=n_docs,
     )
-
-    def finalize(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            lon1, lat1 = geometry.lonlat_from_id(pdf["src"].to_numpy())
-            lon2, lat2 = geometry.lonlat_from_id(pdf["dst"].to_numpy())
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["src"],
-                    "event_id": pdf["dst"],
-                    "m": geometry.haversine_m_int(lon1, lat1, lon2, lat2),
-                }
-            )
-
-    return nn.select("src", "dst").mapInPandas(
-        finalize, schema="doc_id bigint, event_id bigint, m bigint"
+    lon1, lat1 = geometry.sql_lonlat_exprs("src")
+    lon2, lat2 = geometry.sql_lonlat_exprs("dst")
+    m = geometry.sql_haversine_m_int(lon1, lat1, lon2, lat2)
+    return nn.select(
+        F.col("src").alias("doc_id"),
+        F.col("dst").alias("event_id"),
+        F.expr(m).alias("m"),
     )
 
 
@@ -5785,23 +5776,20 @@ def q_buffer_join(spark, sf_dir):
     co-partitioned with the kNN layouts; broadcast-able when the
     attribute table is small). Radius skew does not unbalance the
     plan: candidates are generated at the uniform max radius."""
-    import pandas as pd
-
     pts, stats = _geo_points(spark, sf_dir)
     r_max_km = BUF_BASE_KM + BUF_MOD - 1
     chord = geometry.gc_to_chord(r_max_km / geometry.EARTH_RADIUS_KM)
     pairs = ball_self_join(pts, chord, d=3, stats=stats).select("src", "dst")
-
-    def metres(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            lon1, lat1 = geometry.lonlat_from_id(pdf["src"].to_numpy())
-            lon2, lat2 = geometry.lonlat_from_id(pdf["dst"].to_numpy())
-            m = geometry.haversine_m_int(lon1, lat1, lon2, lat2)
-            yield pd.DataFrame({"src": pdf["src"], "dst": pdf["dst"], "m": m})
-
-    md = pairs.mapInPandas(metres, schema="src bigint, dst bigint, m bigint")
+    lon1, lat1 = geometry.sql_lonlat_exprs("src")
+    lon2, lat2 = geometry.sql_lonlat_exprs("dst")
+    # JVM integer haversine (r6): bit-identical to the numpy kernel it
+    # replaces (geo_sssp's edge-weight discipline), one less Python
+    # stage in the pair pipeline
+    md = pairs.select(
+        "src",
+        "dst",
+        F.expr(geometry.sql_haversine_m_int(lon1, lat1, lon2, lat2)).alias("m"),
+    )
     r = src.load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("src"),
         ((F.lit(BUF_BASE_KM) + F.col("n_chars") % BUF_MOD) * 1000)
@@ -6155,33 +6143,29 @@ def q_knn_outlier(spark, sf_dir):
     is hash-exact with no float-summation-order caveat.
 
     Physical plan: ONE exact-kNN pass (verified two-phase plan), the
-    op-order-mirrored metre finalize (nn_event's discipline), an
-    id-keyed partial agg for S, and one edge-stream join keyed on dst
-    — every post-kNN stage is O(nk) ids+ints, no vectors move. The
-    metre stream is persisted + materialized ONCE before its triple
-    fan-out (S agg, dst join, src join): without it each consumer
-    re-ran the full kNN (measured 3x dist_comps at sf0.1 — the AQE
-    persist-race discipline, see dbscan.py)."""
-    import pandas as pd
-
+    op-order-mirrored metre finalize as a JVM expression (r6 — the
+    geo_sssp edge-weight discipline, bit-identical to the numpy
+    kernel it replaces and one less Python stage), an id-keyed
+    partial agg for S, and one edge-stream join keyed on dst — every
+    post-kNN stage is O(nk) ids+ints, no vectors move. The metre
+    stream is persisted + materialized ONCE before its triple fan-out
+    (S agg, dst join, src join): without it each consumer re-ran the
+    full kNN (measured 3x dist_comps at sf0.1 — the AQE persist-race
+    discipline, see dbscan.py)."""
     from .plans.session import mark_releasable
 
     pts, stats = _geo_points(spark, sf_dir)
     knn = knn_self_join(pts, k=KNN_K, d=3, stats=stats)
-
-    def metres(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            lon1, lat1 = geometry.lonlat_from_id(pdf["src"].to_numpy())
-            lon2, lat2 = geometry.lonlat_from_id(pdf["dst"].to_numpy())
-            m = geometry.haversine_m_int(lon1, lat1, lon2, lat2)
-            yield pd.DataFrame({"src": pdf["src"], "dst": pdf["dst"], "m": m})
-
+    lon1, lat1 = geometry.sql_lonlat_exprs("src")
+    lon2, lat2 = geometry.sql_lonlat_exprs("dst")
     md = mark_releasable(
-        knn.select("src", "dst")
-        .mapInPandas(metres, schema="src bigint, dst bigint, m bigint")
-        .persist()
+        knn.select(
+            "src",
+            "dst",
+            F.expr(
+                geometry.sql_haversine_m_int(lon1, lat1, lon2, lat2)
+            ).alias("m"),
+        ).persist()
     )
     md.count()
     s = md.groupBy(F.col("src").alias("id")).agg(
