@@ -2663,30 +2663,18 @@ def q_user_travel(spark, sf_dir):
     history), the op-order-mirrored haversine, and INTEGER-metre
     segments (geometry.haversine_m_int) so the per-user sum is
     order-free and exact in both engines — a float-km sum would
-    depend on reduction order and could never cross engines."""
-    import pandas as pd
-
+    depend on reduction order and could never cross engines. The
+    metre segment is the JVM rendering of the same formula (r6 —
+    bit-identical to the numpy kernel, nn_event's discipline), so the
+    pair stream feeds the aggregate with no Python stage."""
     ev = src.load_table(spark, sf_dir, "events")
     pairs = sessions.consecutive_pairs(ev, bucket_us=TRAVEL_BUCKET_US)
-
-    def seg(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            lon1, lat1 = geometry.lonlat_from_id(
-                pdf["prev_id"].to_numpy()
-            )
-            lon2, lat2 = geometry.lonlat_from_id(
-                pdf["event_id"].to_numpy()
-            )
-            yield pd.DataFrame(
-                {
-                    "user_id": pdf["user_id"],
-                    "m": geometry.haversine_m_int(lon1, lat1, lon2, lat2),
-                }
-            )
-
-    segs = pairs.mapInPandas(seg, schema="user_id bigint, m bigint")
+    lon1, lat1 = geometry.sql_lonlat_exprs("prev_id")
+    lon2, lat2 = geometry.sql_lonlat_exprs("event_id")
+    segs = pairs.select(
+        "user_id",
+        F.expr(geometry.sql_haversine_m_int(lon1, lat1, lon2, lat2)).alias("m"),
+    )
     return segs.groupBy("user_id").agg(
         F.count("*").alias("n_segments"),
         F.sum("m").alias("total_m"),
@@ -2796,33 +2784,23 @@ def q_travel_speed(spark, sf_dir):
     comparison and max is engine-exact with no float reduction
     anywhere), counting segments above the plausible-motion ceiling
     (the classic GPS-noise / teleport filter in trajectory cleaning).
-    Same hot-key-bounded pair primitive as user_travel."""
-    import pandas as pd
-
+    Same hot-key-bounded pair primitive as user_travel; the metre and
+    mm/s arithmetic run as JVM expressions (r6 — bit-identical integer
+    ops: m >= 0 and gap >= 1 make floor and truncating DIV agree, and
+    m * 10^9 <= 2e16 < 2^63), no Python stage."""
     ev = src.load_table(spark, sf_dir, "events")
     pairs = sessions.consecutive_pairs(ev, bucket_us=TRAVEL_BUCKET_US)
-
-    def seg(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            lon1, lat1 = geometry.lonlat_from_id(pdf["prev_id"].to_numpy())
-            lon2, lat2 = geometry.lonlat_from_id(pdf["event_id"].to_numpy())
-            m = geometry.haversine_m_int(lon1, lat1, lon2, lat2)
-            # a same-microsecond pair (gap 0) is "infinite" speed;
-            # clamping to 1us keeps the integer division defined and
-            # still lands far above any plausibility ceiling
-            gap = np.maximum(
-                pdf["us"].to_numpy() - pdf["prev_us"].to_numpy(), 1
-            )
-            yield pd.DataFrame(
-                {
-                    "user_id": pdf["user_id"],
-                    "mmps": (m * 1_000_000_000) // gap,
-                }
-            )
-
-    segs = pairs.mapInPandas(seg, schema="user_id bigint, mmps bigint")
+    lon1, lat1 = geometry.sql_lonlat_exprs("prev_id")
+    lon2, lat2 = geometry.sql_lonlat_exprs("event_id")
+    m = geometry.sql_haversine_m_int(lon1, lat1, lon2, lat2)
+    # a same-microsecond pair (gap 0) is "infinite" speed; clamping to
+    # 1us keeps the integer division defined and still lands far above
+    # any plausibility ceiling
+    mmps = (
+        f"(({m}) * CAST(1000000000 AS BIGINT)) DIV "
+        "greatest(us - prev_us, CAST(1 AS BIGINT))"
+    )
+    segs = pairs.select("user_id", F.expr(mmps).alias("mmps"))
     return segs.groupBy("user_id").agg(
         F.count("*").alias("n_segments"),
         F.sum(
@@ -2945,31 +2923,79 @@ def q_user_trips(spark, sf_dir):
     per-user prefix sum of break flags computed with the same two-phase
     bucket plan as sessionize (sessions.prefix_starts) — no task ever
     holds a full user history, breaks are integer-exact comparisons on
-    engine-shared integers."""
-    import pandas as pd
+    engine-shared integers.
 
+    Below the session family's SMALL_CUTOFF the whole query fuses
+    into ONE per-user window (r6): lag gives the predecessor, the
+    JVM integer haversine (bit-identical to the numpy kernel —
+    nn_event's r6 discipline) gives the jump, and the running break
+    sum gives the trip index — two exchanges instead of the pair
+    window + Python segment kernel + event-keyed stitch join + prefix
+    window (the hot-key contract holds trivially under the cutoff;
+    parity pinned by tests/test_sessions_r6.py)."""
     ev = src.load_table(spark, sf_dir, "events")
     n_ev = ev.count()  # adaptive-dial probe, shared with prefix_starts
+    if n_ev <= sessions.SMALL_CUTOFF:
+        from pyspark.sql import Window
+
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("us").asc(), F.col("event_id").asc()
+        )
+        lon1, lat1 = geometry.sql_lonlat_exprs("prev_id")
+        lon2, lat2 = geometry.sql_lonlat_exprs("event_id")
+        m = F.expr(geometry.sql_haversine_m_int(lon1, lat1, lon2, lat2))
+        lagged = (
+            ev.select("event_id", "user_id", us.alias("us"))
+            .withColumn("prev_id", F.lag("event_id").over(w))
+            .withColumn("prev_us", F.lag("us").over(w))
+            .withColumn("m", m)
+        )
+        brk = (
+            F.col("prev_id").isNull()
+            | ((F.col("us") - F.col("prev_us")) > F.lit(TRIP_GAP_US))
+            | (F.col("m") > F.lit(TRIP_JUMP_M))
+        )
+        flagged = lagged.select(
+            "user_id",
+            "us",
+            "event_id",
+            F.when(brk, F.lit(0)).otherwise(F.col("m")).alias("seg_m"),
+            F.when(brk, F.lit(1)).otherwise(F.lit(0)).alias("st"),
+        )
+        trips = flagged.withColumn(
+            "trip",
+            F.sum("st")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint"),
+        )
+        return trips.groupBy("user_id", "trip").agg(
+            F.count("*").alias("n_events"),
+            F.sum("seg_m").alias("trip_m"),
+        )
     pairs = sessions.consecutive_pairs(
         ev, bucket_us=TRAVEL_BUCKET_US, n_hint=n_ev
     )
-
-    def seg(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            lon1, lat1 = geometry.lonlat_from_id(pdf["prev_id"].to_numpy())
-            lon2, lat2 = geometry.lonlat_from_id(pdf["event_id"].to_numpy())
-            m = geometry.haversine_m_int(lon1, lat1, lon2, lat2)
-            gap = pdf["us"].to_numpy() - pdf["prev_us"].to_numpy()
-            keep = (gap <= TRIP_GAP_US) & (m <= TRIP_JUMP_M)
-            yield pd.DataFrame(
-                {"event_id": pdf["event_id"][keep], "m": m[keep]}
-            )
-
     # a leg = a consecutive pair that does NOT break; every other
-    # event (no predecessor, long dwell, or jump) starts a trip
-    legs = pairs.mapInPandas(seg, schema="event_id bigint, m bigint")
+    # event (no predecessor, long dwell, or jump) starts a trip.
+    # JVM integer haversine (r6) — no Python stage in the pair stream.
+    lon1, lat1 = geometry.sql_lonlat_exprs("prev_id")
+    lon2, lat2 = geometry.sql_lonlat_exprs("event_id")
+    legs = (
+        pairs.select(
+            "event_id",
+            "us",
+            "prev_us",
+            F.expr(
+                geometry.sql_haversine_m_int(lon1, lat1, lon2, lat2)
+            ).alias("m"),
+        )
+        .filter(
+            ((F.col("us") - F.col("prev_us")) <= F.lit(TRIP_GAP_US))
+            & (F.col("m") <= F.lit(TRIP_JUMP_M))
+        )
+        .select("event_id", "m")
+    )
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     flagged = (
         ev.select("event_id", "user_id", us.alias("us"))
@@ -3428,13 +3454,60 @@ def q_stay_points(spark, sf_dir):
     microsecond difference of engine-shared integers: exact."""
     ev = src.load_table(spark, sf_dir, "events")
     n_ev = ev.count()  # adaptive-dial probe, shared with prefix_starts
+    lon_e, lat_e = geometry.sql_lonlat_exprs("event_id")
+    cell_e = cellcodec.sql_cell_expr(lon_e, lat_e, STAY_RES)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    if n_ev <= sessions.SMALL_CUTOFF:
+        # fused one-window small path (r6, same dial as user_trips):
+        # the previous cell is lag() of the SAME cell expression the
+        # pair path derives from prev_id — identical values — and the
+        # run index is the running break sum in the same window. Two
+        # exchanges replace pair window + event-keyed stitch join +
+        # prefix window.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("us").asc(), F.col("event_id").asc()
+        )
+        lagged = (
+            ev.select(
+                "event_id", "user_id", us.alias("us"),
+                F.expr(cell_e).alias("cell"),
+            )
+            .withColumn("prev_cell", F.lag("cell").over(w))
+            .withColumn("prev_us", F.lag("us").over(w))
+        )
+        st = F.when(
+            (F.col("prev_cell") == F.col("cell"))
+            & ((F.col("us") - F.col("prev_us")) <= F.lit(STAY_GAP_US)),
+            F.lit(0),
+        ).otherwise(F.lit(1))
+        runs = lagged.withColumn(
+            "trip",
+            F.sum(st)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint"),
+        )
+        return (
+            runs.groupBy("user_id", "trip")
+            .agg(
+                F.min("cell").alias("stay_cell"),
+                F.count("*").alias("n_pings"),
+                F.min("us").alias("enter_us"),
+                (F.max("us") - F.min("us")).alias("dwell_us"),
+            )
+            .filter(
+                (F.col("n_pings") >= 2)
+                & (F.col("dwell_us") >= F.lit(STAY_MIN_DWELL_US))
+            )
+            .select("user_id", "stay_cell", "n_pings", "enter_us", "dwell_us")
+        )
     pairs = sessions.consecutive_pairs(
         ev, bucket_us=TRAVEL_BUCKET_US, n_hint=n_ev
     )
     lon_p, lat_p = geometry.sql_lonlat_exprs("prev_id")
-    lon_c, lat_c = geometry.sql_lonlat_exprs("event_id")
     c_prev = cellcodec.sql_cell_expr(lon_p, lat_p, STAY_RES)
-    c_cur = cellcodec.sql_cell_expr(lon_c, lat_c, STAY_RES)
+    c_cur = cellcodec.sql_cell_expr(lon_e, lat_e, STAY_RES)
     cont = pairs.select(
         "event_id",
         F.when(
@@ -3443,9 +3516,6 @@ def q_stay_points(spark, sf_dir):
             F.lit(0),
         ).otherwise(F.lit(1)).alias("st"),
     )
-    lon_e, lat_e = geometry.sql_lonlat_exprs("event_id")
-    cell_e = cellcodec.sql_cell_expr(lon_e, lat_e, STAY_RES)
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
     flagged = (
         ev.select(
             "event_id", "user_id", us.alias("us"),

@@ -77,3 +77,20 @@ def test_prefix_starts_paths_match(events):
         cols,
     )
     assert small == two_phase
+
+
+def test_fused_trip_and_stay_queries_match_composed(spark, monkeypatch):
+    """r6: the fused one-window small paths of q_user_trips and
+    q_stay_points must be row-identical to the composed pair-window +
+    stitch-join + prefix shape (forced by zeroing the dial)."""
+    from covertree_spark import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    for qname in ("user_trips", "stay_points"):
+        fn = Q.catalog()[qname][0]
+        fused = sorted(map(tuple, fn(spark, sf).collect()))
+        monkeypatch.setattr(sessions, "SMALL_CUTOFF", 0)
+        composed = sorted(map(tuple, fn(spark, sf).collect()))
+        monkeypatch.undo()
+        assert len(fused) > 0
+        assert fused == composed, qname
