@@ -700,18 +700,22 @@ def decontaminate(
         "left_anti",
     )
     eval_sh = shingles_df(eval_docs, n).select("shingle").distinct()
-    corp_sh = shingles_df(corp, n)
-    sizes = corp_sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    hits = (
-        corp_sh.join(F.broadcast(eval_sh), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("hits"))
+    # ONE corpus-shingle pass (r6): a left join against the broadcast
+    # DISTINCT eval shingles marks hits without multiplying rows, so
+    # per-doc size and hit count come from the same aggregate — the
+    # previous shape scanned (tokenize + shingle) the corpus twice,
+    # once per branch.
+    marked = shingles_df(corp, n).join(
+        F.broadcast(eval_sh.withColumn("_hit", F.lit(1))), "shingle", "left"
     )
-    contaminated = (
-        sizes.join(hits, "doc_id")
-        .filter(F.lit(100) * F.col("hits") >= F.lit(overlap_pct) * F.col("sz"))
-        .select("doc_id")
+    agg = marked.groupBy("doc_id").agg(
+        F.count("*").alias("sz"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("hits"),
     )
+    contaminated = agg.filter(
+        (F.col("hits") > 0)  # the old inner hit-join's implicit >= 1
+        & (F.lit(100) * F.col("hits") >= F.lit(overlap_pct) * F.col("sz"))
+    ).select("doc_id")
     return corp.select("doc_id").join(contaminated, "doc_id", "left_anti")
 
 

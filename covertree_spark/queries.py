@@ -5743,6 +5743,107 @@ def sql_tile_contours():
 
 FUZZY_PREFIX = 24  # ASCII-normalized key length for the edit-distance join
 
+# Data-adaptive gate for the fuzzy join's bounded one-task path: at
+# the cutoff the task holds <= (FUZZY_PREFIX + 1) * 1M variant
+# strings; candidate pairs are emitted and verified run-by-run so the
+# transient stays bounded by the largest variant group — the same
+# worst case the distributed expansion has (no df cut by design, the
+# oracle is the pure definition).
+_FUZZY_SMALL_DOCS = 1_000_000
+
+
+def _is_edit1(sa: str, sb: str) -> bool:
+    """Exact Levenshtein-distance-1 test for distinct strings (the
+    two-pointer single-edit check — substitution for equal lengths,
+    single indel for a length-1 difference)."""
+    la, lb = len(sa), len(sb)
+    if la == lb:
+        seen = False
+        for x, y in zip(sa, sb):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return seen
+    if la > lb:
+        sa, sb, la, lb = sb, sa, lb, la
+    if lb - la != 1:
+        return False
+    i = 0
+    while i < la and sa[i] == sb[i]:
+        i += 1
+    return sa[i:] == sb[i + 1 :]
+
+
+def _fuzzy_join_small(p):
+    """Bounded single-task FastSS join over (id, s): deletion
+    variants, posting runs, i<j candidate expansion, exact d<=1
+    verify. Identical output to the distributed expansion."""
+    import pandas as pd
+
+    def run(batches):
+        blocks = [b for b in batches if not b.empty]
+        if not blocks:
+            return
+        ids = np.concatenate([b["id"].to_numpy(np.int64) for b in blocks])
+        strs = [s for b in blocks for s in b["s"]]
+        v_doc: list[int] = []
+        v_str: list[str] = []
+        for di, s in enumerate(strs):
+            s = s or ""
+            vs = {s}
+            for i in range(len(s)):
+                vs.add(s[:i] + s[i + 1 :])
+            for v in vs:  # per-doc distinct == collect_set dedup
+                v_doc.append(di)
+                v_str.append(v)
+        codes, _ = pd.factorize(np.asarray(v_str, dtype=object))
+        dv = np.asarray(v_doc, dtype=np.int64)
+        order = np.lexsort((ids[dv], codes))
+        c, d_idx = codes[order], dv[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        lens = np.diff(np.r_[starts, len(c)])
+        pair_a: list[np.ndarray] = []
+        pair_b: list[np.ndarray] = []
+        for m in np.unique(lens):
+            if m < 2:
+                continue
+            sel = starts[lens == m]
+            mat = d_idx[sel[:, None] + np.arange(int(m))]
+            iu, ju = np.triu_indices(int(m), 1)
+            pair_a.append(mat[:, iu].ravel())
+            pair_b.append(mat[:, ju].ravel())
+        if not pair_a:
+            return
+        a = np.concatenate(pair_a)
+        b = np.concatenate(pair_b)
+        keyview = a * np.int64(len(strs) + 1) + b  # doc INDICES < n: exact
+        uniq = np.unique(keyview)
+        a = (uniq // np.int64(len(strs) + 1)).astype(np.int64)
+        b = (uniq % np.int64(len(strs) + 1)).astype(np.int64)
+        out_a, out_b, out_d = [], [], []
+        for i, j in zip(a.tolist(), b.tolist()):
+            sa, sb = strs[i], strs[j]
+            if sa == sb:
+                out_a.append(ids[i]); out_b.append(ids[j]); out_d.append(0)
+            elif _is_edit1(sa, sb):
+                out_a.append(ids[i]); out_b.append(ids[j]); out_d.append(1)
+        if not out_a:
+            return
+        oa = np.asarray(out_a, np.int64)
+        ob = np.asarray(out_b, np.int64)
+        od = np.asarray(out_d, np.int64)
+        swap = oa > ob  # a < b by doc ID (ids need not follow index order)
+        yield pd.DataFrame(
+            {
+                "a": np.where(swap, ob, oa),
+                "b": np.where(swap, oa, ob),
+                "d": od,
+            }
+        )
+
+    return p.coalesce(1).mapInPandas(run, schema="a bigint, b bigint, d bigint")
+
 
 def q_fuzzy_join(spark, sf_dir):
     """EDIT-DISTANCE (typo) NEAR-DUP JOIN: doc pairs whose ASCII-
@@ -5772,12 +5873,23 @@ def q_fuzzy_join(spark, sf_dir):
     expansion of each list (i<j over the id-sorted set == the old
     two-sided variant equi-self-join, pair for pair), replacing the
     (id, s, v) distinct + self-join shuffles. The candidate-pair
-    distinct and the per-candidate levenshtein verify are unchanged."""
+    distinct and the per-candidate levenshtein verify are unchanged.
+
+    Below a doc-count gate the whole join runs in ONE bounded task
+    (the Jaccard small-path discipline): the same deletion variants,
+    posting runs via factorize + lexsort, i<j expansion, candidate
+    dedup, and a distance<=1 verify whose accept set and d value are
+    the Levenshtein definition itself (d=0 iff equal, else the
+    single-edit two-pointer check — exact for ASCII, the same
+    function Spark's levenshtein computes). Forced-path parity pinned
+    in tests/test_dedup_r6.py."""
     docs = src.load_table(spark, sf_dir, "documents")
     key = (
         f"substring(regexp_replace(lower(text), '[^a-z0-9 ]', ''), 1, {FUZZY_PREFIX})"
     )
     p = docs.select(F.col("doc_id").alias("id"), F.expr(key).alias("s"))
+    if docs.count() <= _FUZZY_SMALL_DOCS:
+        return _fuzzy_join_small(p)
     vars_ = p.select(
         "id",
         "s",

@@ -168,3 +168,17 @@ def test_neardup_groups_fused_matches_distributed(spark, docs, monkeypatch):
     dist = _rows(dedup.neardup_groups(docs, n=3, min_jaccard_pct=50, max_df=6))
     assert fused == dist
     assert any(r[2] == 0 for r in fused)  # non-trivial clusters exist
+
+
+def test_fuzzy_join_small_matches_distributed(spark, monkeypatch):
+    """r6 dial parity: the bounded one-task FastSS join == the
+    posting-list expansion + JVM levenshtein verify."""
+    from covertree_spark import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    fn = Q.catalog()["fuzzy_join"][0]
+    small = sorted(map(tuple, fn(spark, sf).collect()))
+    monkeypatch.setattr(Q, "_FUZZY_SMALL_DOCS", -1)
+    dist = sorted(map(tuple, fn(spark, sf).collect()))
+    assert len(small) > 0
+    assert small == dist
