@@ -81,13 +81,18 @@ def _marker_count_col(text: Column, words: list[str]) -> Column:
     return c
 
 
-def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_scores(
+    df: DataFrame, text_col: str = "text", carry: tuple = ()
+) -> DataFrame:
+    """``carry``: extra input columns passed through beside the
+    scores, so consumers needing e.g. the label column avoid a
+    doc_id self-join back onto the table the scores came from."""
     t = F.col(text_col)
     cols = [
         _marker_count_col(t, LANG_MARKERS[lang]).alias(f"score_{lang}")
         for lang in _LANGS
     ]
-    return df.select("doc_id", *cols)
+    return df.select("doc_id", *carry, *cols)
 
 
 def sql_lang_scores(table: str = "documents") -> str:

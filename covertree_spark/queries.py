@@ -2546,6 +2546,20 @@ def sql_quality_filter():
     )
 
 
+def _lang_pred_expr():
+    """The argmax-with-lexicographic-tie-break prediction column over
+    a lang_scores frame (reversed when-chain: earlier languages
+    override later on ties) — shared by lang_predict and the fused
+    evaluation readouts."""
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in tx._LANGS])
+    pred = F.lit(None).cast("bigint")
+    for i in reversed(range(len(tx._LANGS))):
+        pred = F.when(
+            F.col(f"score_{tx._LANGS[i]}") == best, F.lit(i).cast("bigint")
+        ).otherwise(pred)
+    return pred
+
+
 def q_lang_predict(spark, sf_dir):
     """Language ID decision: argmax over the stopword-hit scores with
     a deterministic tie-break (lexicographically first language wins).
@@ -2553,14 +2567,7 @@ def q_lang_predict(spark, sf_dir):
     list, BIGINT for oracle comparability."""
     docs = src.load_table(spark, sf_dir, "documents")
     scored = tx.lang_scores(docs)
-    best = F.greatest(*[F.col(f"score_{lg}") for lg in tx._LANGS])
-    pred = F.lit(None).cast("bigint")
-    # reversed when-chain: earlier languages override later on ties
-    for i in reversed(range(len(tx._LANGS))):
-        pred = F.when(
-            F.col(f"score_{tx._LANGS[i]}") == best, F.lit(i).cast("bigint")
-        ).otherwise(pred)
-    return scored.select("doc_id", pred.alias("lang_idx"))
+    return scored.select("doc_id", _lang_pred_expr().alias("lang_idx"))
 
 
 def sql_lang_predict():
@@ -4741,14 +4748,15 @@ def q_lang_prf(spark, sf_dir):
     the integer numerators of precision/recall/F1 (the float ratios
     are driver-side one-liners; shipping integers keeps the gate
     exact). lang_confusion is the matrix; this is its evaluation
-    read-off."""
-    pred = q_lang_predict(spark, sf_dir)
-    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    read-off. r6: the label rides the scoring scan (lang_scores
+    carry) — no doc_id join back onto the same table."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    scored = tx.lang_scores(docs, carry=("lang",))
     lbl_idx = F.lit(None).cast("bigint")
     for i, lg in enumerate(tx._LANGS):
         lbl_idx = F.when(F.col("lang") == lg, F.lit(i)).otherwise(lbl_idx)
-    j = pred.join(docs, "doc_id").select(
-        "lang_idx", lbl_idx.alias("lbl_idx")
+    j = scored.select(
+        _lang_pred_expr().alias("lang_idx"), lbl_idx.alias("lbl_idx")
     )
     per = j.groupBy().agg(
         *[
@@ -5376,10 +5384,14 @@ def q_user_gini(spark, sf_dir):
     ->1 = one dominant location. The regularity metric next to
     user_rog's dispersion moments.
 
-    Physical plan: O(events) collapse to (user, cell, count), then a
-    user-keyed self-join on the collapsed rows — quadratic only in
-    DISTINCT CELLS PER USER, bounded by 4^res at any event volume
-    (the same bound covisit_pairs leans on). All-integer output."""
+    Physical plan (r6): O(events) collapse to (user, cell, count),
+    then ONE per-user aggregate applying the sorted-counts identity
+    SUM_ij |c_i - c_j| = 2 * SUM_k (2k - n - 1) * c_(k) (ascending
+    sort, 1-based k) — integer-exact, and it replaces the user-keyed
+    self-join whose three readers (both sides + the totals) each
+    re-ran the collapse subtree. Per-user state is bounded by 4^res
+    distinct cells at any event volume (the same bound covisit_pairs
+    leans on). All-integer output."""
     ev = src.load_table(spark, sf_dir, "events")
     lon, lat = geometry.sql_lonlat_exprs("event_id")
     c = cellcodec.sql_cell_expr(lon, lat, COVISIT_RES)
@@ -5388,17 +5400,19 @@ def q_user_gini(spark, sf_dir):
         .groupBy("user_id", "cell")
         .agg(F.count("*").alias("c"))
     )
-    a = g.select("user_id", F.col("c").alias("ca"))
-    b = g.select("user_id", F.col("c").alias("cb"))
-    pairs = a.join(b, "user_id").groupBy("user_id").agg(
-        F.sum(F.abs(F.col("ca") - F.col("cb"))).alias("_num")
+    per = g.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("c")).alias("cs"),
+        F.count("*").alias("_n"),
+        F.sum("c").alias("_s"),
     )
-    tot = g.groupBy("user_id").agg(
-        F.count("*").alias("_n"), F.sum("c").alias("_s")
+    num = (
+        "2 * aggregate(transform(cs, (x, i) -> "
+        "(2 * (CAST(i AS BIGINT) + 1) - _n - 1) * x), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    return pairs.join(tot, "user_id").select(
+    return per.select(
         "user_id",
-        F.col("_num").cast("bigint").alias("num"),
+        F.expr(num).cast("bigint").alias("num"),
         (F.lit(2) * F.col("_n") * F.col("_s")).cast("bigint").alias("den"),
     )
 
@@ -5579,11 +5593,13 @@ def q_lang_confusion(spark, sf_dir):
     engine's own lang_predict decisions, one integer aggregate over
     its verified output. The eval-harness staple of any corpus
     pipeline; at 10^12 rows this is a map-side-combined groupBy on a
-    (string, int) key bounded by #langs^2."""
-    pred = q_lang_predict(spark, sf_dir)
-    docs = src.load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    (string, int) key bounded by #langs^2. r6: the label rides the
+    scoring scan (lang_scores carry), so the doc_id join back onto
+    the same table is gone — one scan, one aggregate."""
+    docs = src.load_table(spark, sf_dir, "documents")
+    scored = tx.lang_scores(docs, carry=("lang",))
     return (
-        pred.join(docs, "doc_id")
+        scored.select("lang", _lang_pred_expr().alias("lang_idx"))
         .groupBy("lang", "lang_idx")
         .agg(F.count("*").alias("n"))
     )
