@@ -2076,10 +2076,11 @@ def q_knn_classify(spark, sf_dir):
     smaller label) — the label-densification / weak-supervision step a
     training pipeline runs over an embedding column. Composes the
     partitioned exact kNN with one key-partitioned equi-join and a
-    bounded window (<= k rows per key — no hot-key risk by
-    construction)."""
-    from pyspark.sql import Window
-
+    bounded vote reduce (<= k rows per key — no hot-key risk by
+    construction). r6: the top-1 window became a max_by hash
+    aggregate — max over struct(c, -label) is exactly (count DESC,
+    label ASC) rank 1, with map-side partials instead of a
+    sort-window (the _merge_topk discipline)."""
     pts, stats = _emb_points(spark, sf_dir)
     knn = knn_self_join(pts, k=KNN_K, d=EMB_D, stats=stats)
     labels = src.load_table(spark, sf_dir, "embeddings").select(
@@ -2090,16 +2091,11 @@ def q_knn_classify(spark, sf_dir):
         .groupBy("src", "label")
         .agg(F.count("*").alias("c"))
     )
-    w = Window.partitionBy("src").orderBy(
-        F.col("c").desc(), F.col("label").asc()
-    )
-    return (
-        votes.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            F.col("src").alias("vec_id"),
-            F.col("label").cast("bigint").alias("predicted"),
-        )
+    return votes.groupBy("src").agg(
+        F.expr("max_by(label, struct(c AS c, -label AS nl))").alias("_lbl")
+    ).select(
+        F.col("src").alias("vec_id"),
+        F.col("_lbl").cast("bigint").alias("predicted"),
     )
 
 
@@ -5252,10 +5248,16 @@ def q_geo_assortativity(spark, sf_dir):
     r = (M*Sum(da*db) - Sum(da)^2) / (M*Sum(da^2) - Sum(da)^2) —
     every term an integer (deg <= component bound, M edge count).
 
-    Physical plan: ONE ball join (the verified cogroup plan), one
-    degree aggregate, two id-keyed joins of the degree table onto the
-    edge stream, one scalar moment agg — all partial-aggregable,
-    no window, no collect."""
+    Physical plan (r6): ONE ball join (the verified cogroup plan),
+    one degree aggregate, ONE id-keyed join of the degree table onto
+    the edge stream, one scalar moment agg. The second join is gone
+    by the per-vertex identities over the symmetric stream (deg(src)
+    is the src-group row count, so grouping the dst-degree-joined
+    edges by src yields (d_v, S_v = sum of neighbor degrees) and
+    M = sum d, Sum(da) = sum d^2, Sum(da^2) = sum d^3,
+    Sum(da*db) = sum d*S — term-for-term the same integers the
+    edge-level sums computed). All partial-aggregable, no window, no
+    collect."""
     from .plans.session import mark_releasable
 
     pts, stats = _geo_points(spark, sf_dir)
@@ -5265,18 +5267,16 @@ def q_geo_assortativity(spark, sf_dir):
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    j = (
-        edges.join(deg.select(F.col("src"), F.col("d").alias("da")), "src")
-        .join(
-            deg.select(F.col("src").alias("dst"), F.col("d").alias("db")),
-            "dst",
-        )
+    t = edges.join(
+        deg.select(F.col("src").alias("dst"), F.col("d").alias("db")), "dst"
+    ).groupBy("src").agg(
+        F.count("*").alias("c"), F.sum("db").alias("s")
     )
-    m = j.agg(
-        F.count("*").alias("_m"),
-        F.sum("da").alias("_sa"),
-        F.sum(F.col("da") * F.col("db")).alias("_sab"),
-        F.sum(F.col("da") * F.col("da")).alias("_saa"),
+    m = t.agg(
+        F.sum("c").alias("_m"),
+        F.sum(F.col("c") * F.col("c")).alias("_sa"),
+        F.sum(F.col("c") * F.col("s")).alias("_sab"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).alias("_saa"),
     )
     return m.select(
         F.col("_m").cast("bigint").alias("m"),
