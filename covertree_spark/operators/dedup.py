@@ -980,14 +980,26 @@ def _sim_band_keys(sim_col):
 _SIMHASH_SMALL_SIGS = 16_384
 
 
+# 16-bit popcount table, built ONCE at import in pure numpy. Building
+# it per task as a 65k-iteration Python comprehension was measured
+# 1-2s on long-lived reused workers (the interpreter GC walks the
+# worker's accumulated heap every ~700 net allocations); the
+# vectorized module-level build is ~1 ms and runs once per worker
+# process at import.
+_POP16 = (
+    np.unpackbits(np.arange(1 << 16, dtype=">u2").view(np.uint8))
+    .reshape(-1, 16)
+    .sum(axis=1)
+    .astype(np.uint8)
+)
+
+
 def _ham_pair_blocks(s_sorted: np.ndarray, max_hamming: int):
     """Blocked brute-force Hamming search over SORTED distinct signed
     int64 signatures: yields (ii, jj, ham) index blocks with ii < jj
     (strict upper triangle — sa < sb in the JVM's signed order).
     ~128 MB xor transient per block regardless of n."""
-    tbl = np.array(
-        [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
-    )
+    tbl = _POP16
     u = s_sorted.view(np.uint64)
     n = len(s_sorted)
     m16 = np.uint64(0xFFFF)
@@ -1033,7 +1045,10 @@ def _simhash_groups_small(sigs: DataFrame, max_hamming: int) -> DataFrame:
     doc_id per signature, ham = 0) AND the cross rows between group
     keepers of qualifying signature pairs — the same integer
     arithmetic as the reps-aggregate + star/cross join pipeline it
-    replaces, in one task instead of five shuffle stages."""
+    replaces, in one task instead of five shuffle stages. The input
+    goes through an explicit repartition(1) (NOT coalesce: coalesce
+    would collapse the upstream signature kernel's parallelism into
+    the one task)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         blocks = [pdf for pdf in batches if not pdf.empty]
@@ -1066,7 +1081,9 @@ def _simhash_groups_small(sigs: DataFrame, max_hamming: int) -> DataFrame:
             }
         )
 
-    return sigs.coalesce(1).mapInPandas(run, schema="a bigint, b bigint, ham int")
+    return sigs.repartition(1).mapInPandas(
+        run, schema="a bigint, b bigint, ham int"
+    )
 
 
 def _simhash_sig_pairs(sigs: DataFrame, max_hamming: int) -> DataFrame:
@@ -1125,14 +1142,20 @@ def simhash_neardup_pairs(
         raise ValueError("banding guarantees exactness only for max_hamming <= 3")
     from ..plans.session import mark_releasable
 
+    if representation == "groups" and docs.count() <= _SIMHASH_SMALL_SIGS:
+        # distinct signatures <= documents, so a metadata-cheap doc
+        # count gates the bounded one-task groups kernel. The kernel
+        # input is the signature stream behind an EXPLICIT
+        # single-partition exchange — NOT persist + coalesce(1): a
+        # coalesce over the cached frame collapses the 32-way
+        # signature kernel into the single task whenever the cache
+        # lookup misses (observed in long bench sessions as a
+        # constant ~+1.5s), while repartition(1) keeps the signature
+        # stage parallel and moves 16 bytes/doc through one exchange,
+        # all in ONE job with no cache dependency.
+        return _simhash_groups_small(simhash_signatures(docs), max_hamming)
     sigs = mark_releasable(simhash_signatures(docs).persist())
-    n_docs = sigs.count()  # several consumers; one signature-kernel run
-    if representation == "groups" and n_docs <= _SIMHASH_SMALL_SIGS:
-        # distinct signatures <= documents, so the already-collected
-        # count gates the bounded one-task groups kernel with no extra
-        # probe job; the shuffle pipeline below stays the default for
-        # anything bigger (tests pin parity on forced paths).
-        return _simhash_groups_small(sigs, max_hamming)
+    sigs.count()  # several consumers; one signature-kernel run
     simpairs = _simhash_sig_pairs(sigs, max_hamming)
     reps = sigs.groupBy("sim").agg(F.min("doc_id").alias("keeper"))
 
