@@ -1003,16 +1003,18 @@ def _ham_pair_blocks(s_sorted: np.ndarray, max_hamming: int):
     u = s_sorted.view(np.uint64)
     n = len(s_sorted)
     m16 = np.uint64(0xFFFF)
-    step = max(1, (1 << 24) // max(n, 1))
+    # small blocks + in-place accumulation + direct uint64 indexing:
+    # ~11 bytes/element transient instead of ~40 — long-lived reused
+    # workers with fragmented heaps pay first-touch faults on every
+    # fresh large allocation, so the xor block is kept arena-sized
+    step = max(1, (1 << 22) // max(n, 1))
     for i0 in range(0, n, step):
         i1 = min(i0 + step, n)
         x = u[i0:i1, None] ^ u[None, :]
-        ham = (
-            tbl[(x & m16).astype(np.int64)].astype(np.int16)
-            + tbl[((x >> np.uint64(16)) & m16).astype(np.int64)]
-            + tbl[((x >> np.uint64(32)) & m16).astype(np.int64)]
-            + tbl[(x >> np.uint64(48)).astype(np.int64)]
-        )
+        ham = tbl[x & m16].astype(np.int16)
+        ham += tbl[(x >> np.uint64(16)) & m16]
+        ham += tbl[(x >> np.uint64(32)) & m16]
+        ham += tbl[x >> np.uint64(48)]
         ii, jj = np.nonzero(ham <= int(max_hamming))
         keep = ii + i0 < jj
         ii, jj = ii[keep], jj[keep]
