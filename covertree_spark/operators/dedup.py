@@ -857,6 +857,68 @@ def minhash_lsh_candidates(sigs: DataFrame, bands: int = 16) -> DataFrame:
     )
 
 
+# Data-adaptive gate for the in-kernel LSH banding: at the cutoff the
+# one bounded task holds the signature matrix (<= 1M x num_perm
+# int64, ~512 MB at 64 perms) plus per-band bucket groupings; the
+# band explode + bucket self-join + distinct pipeline stays the
+# default above it. Candidates are identical by construction (same
+# band slices, same integer equality).
+_MINHASH_SMALL_DOCS = 1_000_000
+
+
+def _minhash_cand_small(sigs: DataFrame, bands: int) -> DataFrame:
+    """Bounded single-task LSH candidate generation over (doc_id,
+    sig): for each band, group identical band slices (byte-view
+    unique), expand each bucket's i<j doc pairs (ids sorted), then
+    dedupe pairs across bands. The input goes through an explicit
+    repartition(1) so the signature kernel stays parallel (the
+    simhash discipline)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        blocks = [p for p in batches if not p.empty]
+        if not blocks:
+            return
+        ids = np.concatenate([p["doc_id"].to_numpy(np.int64) for p in blocks])
+        mat = np.vstack(
+            [np.stack(p["sig"].to_numpy()) for p in blocks]
+        ).astype(np.int64, copy=False)
+        n, num_perm = mat.shape
+        rpb = num_perm // bands
+        order0 = np.argsort(ids, kind="stable")
+        ids, mat = ids[order0], mat[order0]
+        pair_a: list[np.ndarray] = []
+        pair_b: list[np.ndarray] = []
+        for b in range(bands):
+            sl = np.ascontiguousarray(mat[:, b * rpb : (b + 1) * rpb])
+            keys = sl.view([("", sl.dtype)] * rpb).ravel()
+            korder = np.argsort(keys, kind="stable")  # stable: id order kept
+            ks = keys[korder]
+            starts = np.flatnonzero(
+                np.r_[True, ks[1:] != ks[:-1]]
+            )
+            lens = np.diff(np.r_[starts, n])
+            d = korder  # doc INDICES sorted by (bucket, id)
+            for m in np.unique(lens):
+                if m < 2:
+                    continue
+                sel = starts[lens == m]
+                g = d[sel[:, None] + np.arange(int(m))]
+                iu, ju = np.triu_indices(int(m), 1)
+                pair_a.append(g[:, iu].ravel())
+                pair_b.append(g[:, ju].ravel())
+        if not pair_a:
+            return
+        a = np.concatenate(pair_a)
+        b_ = np.concatenate(pair_b)
+        key = a * np.int64(n + 1) + b_  # doc indices < n: exact
+        uniq = np.unique(key)
+        ai = (uniq // np.int64(n + 1)).astype(np.int64)
+        bi = (uniq % np.int64(n + 1)).astype(np.int64)
+        yield pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+
+    return sigs.repartition(1).mapInPandas(run, schema="a bigint, b bigint")
+
+
 def minhash_dedup_pairs(
     docs: DataFrame, n: int = 3, num_perm: int = 64, bands: int = 16,
     min_jaccard_pct: int = 50,
@@ -875,7 +937,10 @@ def minhash_dedup_pairs(
     shingle table was tried and reverted — the extra materialization
     job cost more than it saved at bench scale.)"""
     sigs = minhash_signatures(docs, n, num_perm)
-    cand = minhash_lsh_candidates(sigs, bands)
+    if docs.count() <= _MINHASH_SMALL_DOCS:
+        cand = _minhash_cand_small(sigs, bands)
+    else:
+        cand = minhash_lsh_candidates(sigs, bands)
     arr = tokens_df(docs).select("doc_id", _shingle_arr(n).alias("sharr"))
     return (
         cand.join(

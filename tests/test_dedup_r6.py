@@ -182,3 +182,20 @@ def test_fuzzy_join_small_matches_distributed(spark, monkeypatch):
     dist = sorted(map(tuple, fn(spark, sf).collect()))
     assert len(small) > 0
     assert small == dist
+
+
+def test_minhash_cand_kernel_matches_banding_join(spark):
+    """r6 dial parity: in-kernel LSH banding == the band explode +
+    bucket self-join + distinct, candidate set for candidate set."""
+    from covertree_spark.sources import tables as src
+
+    docs = src.load_table(spark, "/root/testdata/sf0.01", "documents")
+    sigs = dedup.minhash_signatures(docs, 3, 64)
+    join_cand = sorted(
+        map(tuple, dedup.minhash_lsh_candidates(sigs, 16).collect())
+    )
+    kern_cand = sorted(
+        map(tuple, dedup._minhash_cand_small(sigs, 16).collect())
+    )
+    assert len(kern_cand) > 0
+    assert kern_cand == join_cand
